@@ -1,0 +1,196 @@
+"""Typed configuration tree for the TPU-native FLaME engine.
+
+Mirrors the reference rosparam YAML vocabulary (reference:
+cfg/flame_nodelet.yaml:1-92, cfg/flame_offline_tum.yaml, param loading at
+src/flame_nodelet.cc:161-263) as frozen dataclasses, extended with
+TPU-specific capacity knobs (static buffer sizes, search-sample counts,
+primal-dual iteration counts) that replace the reference's
+`threading/openmp/*` CPU tuning section.
+
+Loading follows the reference's fail-fast semantics: `FlameParams.from_dict`
+raises KeyError-style errors on unknown keys so config typos surface
+immediately (reference getParamOrFail, src/utils.h:60-67 exits on a missing
+key; we invert it — all keys have defaults, but unknown keys are fatal).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Mapping
+
+import yaml
+
+
+def _replace_from(obj, d: Mapping[str, Any], path: str):
+    """Recursively apply a nested dict onto a dataclass tree, fail-fast."""
+    fields = {f.name: f for f in dataclasses.fields(obj)}
+    updates = {}
+    for key, val in d.items():
+        if key not in fields:
+            raise KeyError(f"Unknown config key: {path}{key}")
+        cur = getattr(obj, key)
+        if dataclasses.is_dataclass(cur) and isinstance(val, Mapping):
+            updates[key] = _replace_from(cur, val, f"{path}{key}/")
+        else:
+            updates[key] = type(cur)(val) if cur is not None and val is not None else val
+    return dataclasses.replace(obj, **updates)
+
+
+@dataclass(frozen=True)
+class DetectionParams:
+    """Feature detection (reference cfg features/detection, README.md:204-210)."""
+    min_grad_mag: float = 5.0    # Minimum gradient magnitude for a detection.
+    min_error: float = 100.0     # Minimum photo error before redetection in a cell.
+    win_size: int = 16           # Detection grid cell size (win_size x win_size).
+
+
+@dataclass(frozen=True)
+class TrackingParams:
+    """Epipolar tracking (reference cfg features/tracking)."""
+    win_size: int = 5            # Patch length along epipolar line (odd).
+    max_dropouts: int = 5        # Consecutive failures before a feature dies.
+    epipolar_line_var: float = 4.0  # Image-noise variance on the epipolar line.
+
+
+@dataclass(frozen=True)
+class FeatureParams:
+    do_letterbox: bool = False   # Restrict to middle third of image rows.
+    detection: DetectionParams = field(default_factory=DetectionParams)
+    tracking: TrackingParams = field(default_factory=TrackingParams)
+
+
+@dataclass(frozen=True)
+class Nltgv2Params:
+    """NLTGV2-L1 primal-dual smoothing (reference cfg regularization/nltgv2,
+    src/flame_nodelet.cc:246-263)."""
+    adaptive_data_weights: bool = False  # Data weight = 1/idepth variance.
+    rescale_data: bool = False           # Rescale data weights to mean 1.
+    init_with_prediction: bool = True    # Warm-start vertex x from dense prediction.
+    idepth_var_max: float = 0.01         # Max posterior var before graph insertion.
+    data_factor: float = 0.15            # Data-vs-smoothness balance (lambda).
+    step_x: float = 0.001                # Primal step size.
+    step_q: float = 125.0                # Dual step size.
+    theta: float = 0.25                  # Extra-gradient (over-relaxation) factor.
+    min_height: float = -1e14            # Height gate for graph insertion.
+    max_height: float = 1e14
+    check_sticky_obstacles: bool = False
+
+
+@dataclass(frozen=True)
+class RegularizationParams:
+    do_median_filter: bool = False   # Median filter over graph neighborhoods.
+    do_lowpass_filter: bool = False  # Lowpass filter over graph neighborhoods.
+    do_nltgv2: bool = True
+    nltgv2: Nltgv2Params = field(default_factory=Nltgv2Params)
+
+
+@dataclass(frozen=True)
+class OutputParams:
+    """Which products to compute/emit + display-only mesh filters
+    (reference cfg output/*, filters applied at mesh publish time only —
+    they do not change the underlying graph)."""
+    quiet: bool = False
+    mesh: bool = True
+    idepthmap: bool = False
+    depthmap: bool = False
+    cloud: bool = False
+    features: bool = False
+    stats: bool = True
+    load_integration_factor: int = 15
+    scene_color_scale: float = 1.0
+    filter_oblique_triangles: bool = True
+    oblique_normal_thresh: float = 1.57
+    oblique_idepth_diff_factor: float = 0.35
+    oblique_idepth_diff_abs: float = 0.1
+    filter_long_edges: bool = True
+    edge_length_thresh: float = 0.333   # Fraction of image width.
+    filter_triangles_by_idepth: bool = True
+    min_triangle_idepth: float = 0.01
+    max_angular_rate: float = 0.0       # deg/s; 0 disables the publish gate.
+
+
+@dataclass(frozen=True)
+class DebugParams:
+    """Debug image renderings (reference cfg debug/*)."""
+    wireframe: bool = True
+    features: bool = True
+    detections: bool = False
+    matches: bool = False
+    normals: bool = False
+    idepthmap: bool = True
+    text_overlay: bool = True
+    flip_images: bool = False
+
+
+@dataclass(frozen=True)
+class InputParams:
+    """Input stream handling (reference cfg input/*)."""
+    camera_frame_id: str = "camera"
+    camera_world_frame_id: str = "camera_world"
+    subsample_factor: int = 1            # Process 1 out of N frames.
+    poseframe_subsample_factor: int = 6  # New keyframe every N processed frames.
+    use_poseframe_updates: bool = False  # Accept external pose-graph updates.
+    poseframe_child_frame_id: str = "body"
+    resize_factor: int = 1
+
+
+@dataclass(frozen=True)
+class EngineParams:
+    """TPU capacity knobs — static shapes for device-resident buffers.
+
+    These replace the reference's threading/openmp section: on TPU the
+    parallel-section tuning is the static tensor geometry the kernels are
+    compiled for.
+    """
+    max_features: int = 2048     # Feature slots (padded, validity-masked).
+    max_keyframes: int = 8       # Keyframe (poseframe) ring-buffer depth.
+    num_search_samples: int = 32  # Inverse-depth samples per epipolar search.
+    pd_iters_per_frame: int = 10  # NLTGV2 primal-dual sweeps per frame.
+    sigma_window: float = 2.0    # Search range = mu +/- sigma_window * sigma.
+    idepth_min: float = 1e-3     # Global inverse-depth search bounds.
+    idepth_max: float = 4.0
+    init_idepth_var: float = 0.25  # Prior variance for new features.
+    ambiguous_match_ratio: float = 0.85  # 2nd-best/best cost gate.
+    max_cost: float = 800.0      # Max accepted SSD matching cost.
+    min_ref_patch_grad: float = 1.0  # Min gradient along epipolar dir in ref.
+    compute_dtype: str = "float32"
+
+    @property
+    def max_triangles(self) -> int:
+        return 2 * self.max_features
+
+    @property
+    def max_edges(self) -> int:
+        return 3 * self.max_features
+
+
+@dataclass(frozen=True)
+class AnalysisParams:
+    pass_in_truth: bool = False  # Feed GT idepth into update() (truth harness).
+
+
+@dataclass(frozen=True)
+class FlameParams:
+    """Top-level parameter tree (reference flame::Params + frontend params)."""
+    input: InputParams = field(default_factory=InputParams)
+    output: OutputParams = field(default_factory=OutputParams)
+    debug: DebugParams = field(default_factory=DebugParams)
+    features: FeatureParams = field(default_factory=FeatureParams)
+    regularization: RegularizationParams = field(default_factory=RegularizationParams)
+    engine: EngineParams = field(default_factory=EngineParams)
+    analysis: AnalysisParams = field(default_factory=AnalysisParams)
+
+    @staticmethod
+    def from_dict(d: Mapping[str, Any]) -> "FlameParams":
+        return _replace_from(FlameParams(), d, "")
+
+    @staticmethod
+    def from_yaml(path: str) -> "FlameParams":
+        with open(path) as f:
+            d = yaml.safe_load(f) or {}
+        # Tolerate reference-style keys we deliberately do not use.
+        d.pop("threading", None)
+        return FlameParams.from_dict(d)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
