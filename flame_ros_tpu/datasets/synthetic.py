@@ -1,0 +1,153 @@
+"""Synthetic posed RGB-D sequence renderer (textured room scene).
+
+Serves the role the reference fills with downloaded TUM/EuRoC sequences
+(reference: scripts/Dockerfile:46-52 pulls EuRoC V1_01_easy for its demo):
+a deterministic source of grayscale frames + ground-truth depth + exact
+6-DoF poses, used by unit tests, the golden end-to-end harness, and
+bench.py. Zero-egress environments cannot download datasets, so the
+framework ships its own scene generator.
+
+The scene is a set of bounded textured planes (room walls/floor/ceiling +
+a box) ray-cast analytically: with RDF camera rays r = Kinv (u,v,1) (z = 1),
+the hit parameter s along the world ray equals camera z-depth, so depth maps
+are exact. Textures are multi-frequency sinusoids — smooth, alias-free, and
+gradient-rich at every scale, which the detection/epipolar kernels need.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flame_ros_tpu.geometry.camera import Pinhole
+from flame_ros_tpu.geometry.se3 import SE3
+
+VGA = Pinhole(fx=525.0, fy=525.0, cx=319.5, cy=239.5, width=640, height=480)
+QVGA = Pinhole(fx=262.5, fy=262.5, cx=159.5, cy=119.5, width=320, height=240)
+
+
+def _room_planes():
+    """Planes: (point, normal, tangent_u, tangent_v, half_extent_u, half_extent_v, tex_seed)."""
+    def plane(p, n, tu, tv, eu, ev, seed):
+        return (np.array(p, np.float32), np.array(n, np.float32),
+                np.array(tu, np.float32), np.array(tv, np.float32),
+                np.float32(eu), np.float32(ev), seed)
+
+    return [
+        # Back wall at z=4.
+        plane([0, 0, 4.0], [0, 0, -1], [1, 0, 0], [0, 1, 0], 3.0, 2.0, 1),
+        # Left wall x=-2.5, right wall x=2.5.
+        plane([-2.5, 0, 2.0], [1, 0, 0], [0, 0, 1], [0, 1, 0], 3.0, 2.0, 2),
+        plane([2.5, 0, 2.0], [-1, 0, 0], [0, 0, 1], [0, 1, 0], 3.0, 2.0, 3),
+        # Floor y=1.5 (RDF: +y is down), ceiling y=-1.5.
+        plane([0, 1.5, 2.0], [0, -1, 0], [1, 0, 0], [0, 0, 1], 3.0, 3.0, 4),
+        plane([0, -1.5, 2.0], [0, 1, 0], [1, 0, 0], [0, 0, 1], 3.0, 3.0, 5),
+        # Box front face at z=2.2 and top face.
+        plane([0.6, 0.9, 2.2], [0, 0, -1], [1, 0, 0], [0, 1, 0], 0.6, 0.6, 6),
+        plane([0.6, 0.3, 2.5], [0, -1, 0], [1, 0, 0], [0, 0, 1], 0.6, 0.3, 7),
+        # A slanted panel for non-frontoparallel structure.
+        plane([-1.0, -0.2, 2.8], [0.5547, 0, -0.83205], [0.83205, 0, 0.5547],
+              [0, 1, 0], 0.7, 0.7, 8),
+    ]
+
+
+def _texture(tu, tv, seed: int):
+    """Procedural grayscale texture in [0, 255], smooth and gradient-rich."""
+    rng = np.random.default_rng(seed)
+    val = jnp.zeros_like(tu)
+    for freq in (1.5, 3.7, 8.3, 17.0, 41.0, 83.0):
+        ax, ay = rng.uniform(0.6, 1.4, 2)
+        px, py = rng.uniform(0, 2 * np.pi, 2)
+        amp = 1.0 / freq**0.3
+        val = val + amp * jnp.sin(freq * ax * tu + px) * jnp.cos(freq * ay * tv + py)
+    lo, hi = -2.6, 2.6
+    return jnp.clip((val - lo) / (hi - lo), 0.0, 1.0) * 215.0 + 20.0
+
+
+@partial(jax.jit, static_argnames=("cam",))
+def render_frame(cam: Pinhole, pose_q, pose_t):
+    """Render (gray [H,W] f32 in [0,255], depth [H,W] f32) for pose T_wc."""
+    H, W = cam.height, cam.width
+    u = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    v = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    rays = cam.ray(jnp.stack([u, v], axis=-1))  # [H,W,3], z=1
+    T = SE3(pose_q, pose_t)
+    d_w = T.rotate(rays)       # [H,W,3]
+    o_w = pose_t               # [3]
+
+    best_depth = jnp.full((H, W), jnp.inf, jnp.float32)
+    best_val = jnp.zeros((H, W), jnp.float32)
+    for (p0, n, tu_ax, tv_ax, eu, ev, seed) in _room_planes():
+        p0 = jnp.asarray(p0)
+        n = jnp.asarray(n)
+        denom = jnp.einsum("hwc,c->hw", d_w, n)
+        s = jnp.einsum("c,c->", p0 - o_w, n) / jnp.where(
+            jnp.abs(denom) < 1e-9, jnp.inf, denom)
+        hit_w = o_w + s[..., None] * d_w
+        rel = hit_w - p0
+        tu = jnp.einsum("hwc,c->hw", rel, jnp.asarray(tu_ax))
+        tv = jnp.einsum("hwc,c->hw", rel, jnp.asarray(tv_ax))
+        inside = (jnp.abs(tu) <= eu) & (jnp.abs(tv) <= ev) & (s > 0.05)
+        depth = jnp.where(inside, s, jnp.inf)
+        closer = depth < best_depth
+        best_val = jnp.where(closer, _texture(tu, tv, seed), best_val)
+        best_depth = jnp.minimum(best_depth, depth)
+
+    gray = jnp.where(jnp.isfinite(best_depth), best_val, 0.0)
+    depth = jnp.where(jnp.isfinite(best_depth), best_depth, 0.0)
+    return gray, depth
+
+
+def make_trajectory(n_frames: int, motion: str = "strafe") -> SE3:
+    """Smooth camera trajectory, camera-to-world, RDF world."""
+    ts = np.linspace(0.0, 1.0, n_frames, dtype=np.float32)
+    if motion == "strafe":
+        # Lateral translation (good epipolar baselines) + slight forward drift.
+        tx = 0.6 * np.sin(2 * np.pi * ts)
+        ty = 0.05 * np.sin(4 * np.pi * ts)
+        tz = 0.15 * ts
+        yaw = 0.05 * np.sin(2 * np.pi * ts)
+    elif motion == "forward":
+        tx = 0.05 * np.sin(2 * np.pi * ts)
+        ty = np.zeros_like(ts)
+        tz = 0.9 * ts
+        yaw = np.zeros_like(ts)
+    elif motion == "static":
+        tx = ty = tz = yaw = np.zeros_like(ts)
+    else:
+        raise ValueError(f"unknown motion {motion}")
+    taus = np.stack([tx, ty, tz,
+                     np.zeros_like(ts), yaw, np.zeros_like(ts)], axis=-1)
+    return SE3.exp(jnp.asarray(taus))
+
+
+@dataclass
+class SyntheticSequence:
+    cam: Pinhole
+    images: np.ndarray      # [N, H, W] float32, grayscale 0..255
+    depths: np.ndarray      # [N, H, W] float32 meters (0 where invalid)
+    poses: SE3              # batched [N]
+    timestamps: np.ndarray  # [N] seconds
+
+    def __len__(self):
+        return self.images.shape[0]
+
+
+def make_sequence(n_frames: int = 30, cam: Pinhole = QVGA,
+                  motion: str = "strafe", fps: float = 30.0) -> SyntheticSequence:
+    poses = make_trajectory(n_frames, motion)
+    imgs, deps = [], []
+    for i in range(n_frames):
+        g, d = render_frame(cam, poses.q[i], poses.t[i])
+        imgs.append(np.asarray(g))
+        deps.append(np.asarray(d))
+    return SyntheticSequence(
+        cam=cam,
+        images=np.stack(imgs),
+        depths=np.stack(deps),
+        poses=poses,
+        timestamps=np.arange(n_frames, dtype=np.float64) / fps,
+    )
