@@ -54,17 +54,40 @@ def _room_planes():
     ]
 
 
-def _texture(tu, tv, seed: int):
-    """Procedural grayscale texture in [0, 255], smooth and gradient-rich."""
+def _value_noise_octave(u, v, table):
+    """Smoothstep-interpolated value noise from a random grid (non-periodic,
+    so epipolar matching has no repeated lobes to alias onto)."""
+    S = table.shape[0]
+    u = jnp.clip(u, 0.0, S - 1.001)
+    v = jnp.clip(v, 0.0, S - 1.001)
+    u0 = jnp.floor(u).astype(jnp.int32)
+    v0 = jnp.floor(v).astype(jnp.int32)
+    fu = u - u0
+    fv = v - v0
+    fu = fu * fu * (3.0 - 2.0 * fu)  # smoothstep fade -> C1 texture
+    fv = fv * fv * (3.0 - 2.0 * fv)
+    t = jnp.asarray(table)
+    i00 = t[v0, u0]
+    i01 = t[v0, u0 + 1]
+    i10 = t[v0 + 1, u0]
+    i11 = t[v0 + 1, u0 + 1]
+    return ((i00 * (1 - fu) + i01 * fu) * (1 - fv)
+            + (i10 * (1 - fu) + i11 * fu) * fv)
+
+
+def _texture(tu, tv, seed: int, eu: float, ev: float):
+    """Procedural grayscale texture in [0, 255]: multi-octave value noise."""
     rng = np.random.default_rng(seed)
     val = jnp.zeros_like(tu)
-    for freq in (1.5, 3.7, 8.3, 17.0, 41.0, 83.0):
-        ax, ay = rng.uniform(0.6, 1.4, 2)
-        px, py = rng.uniform(0, 2 * np.pi, 2)
-        amp = 1.0 / freq**0.3
-        val = val + amp * jnp.sin(freq * ax * tu + px) * jnp.cos(freq * ay * tv + py)
-    lo, hi = -2.6, 2.6
-    return jnp.clip((val - lo) / (hi - lo), 0.0, 1.0) * 215.0 + 20.0
+    total = 0.0
+    for size, amp in ((12, 1.0), (48, 0.65), (192, 0.45)):
+        table = rng.uniform(-1.0, 1.0, (size, size)).astype(np.float32)
+        u = (tu / eu * 0.5 + 0.5) * (size - 1)
+        v = (tv / ev * 0.5 + 0.5) * (size - 1)
+        val = val + amp * _value_noise_octave(u, v, table)
+        total += amp
+    val = val / total
+    return jnp.clip(val * 0.5 + 0.5, 0.0, 1.0) * 215.0 + 20.0
 
 
 @partial(jax.jit, static_argnames=("cam",))
@@ -93,7 +116,7 @@ def render_frame(cam: Pinhole, pose_q, pose_t):
         inside = (jnp.abs(tu) <= eu) & (jnp.abs(tv) <= ev) & (s > 0.05)
         depth = jnp.where(inside, s, jnp.inf)
         closer = depth < best_depth
-        best_val = jnp.where(closer, _texture(tu, tv, seed), best_val)
+        best_val = jnp.where(closer, _texture(tu, tv, seed, eu, ev), best_val)
         best_depth = jnp.minimum(best_depth, depth)
 
     gray = jnp.where(jnp.isfinite(best_depth), best_val, 0.0)
@@ -105,9 +128,12 @@ def make_trajectory(n_frames: int, motion: str = "strafe") -> SE3:
     """Smooth camera trajectory, camera-to-world, RDF world."""
     ts = np.linspace(0.0, 1.0, n_frames, dtype=np.float32)
     if motion == "strafe":
-        # Lateral translation (good epipolar baselines) + slight forward drift.
+        # Elliptical lateral sweep: good epipolar baselines whose *direction*
+        # varies between frames (collinear camera centers would make all
+        # epipolar lines coincide, letting wrong-lobe matches stay
+        # self-consistent forever — a degenerate config real rigs avoid).
         tx = 0.6 * np.sin(2 * np.pi * ts)
-        ty = 0.05 * np.sin(4 * np.pi * ts)
+        ty = 0.18 * (1.0 - np.cos(2 * np.pi * ts))
         tz = 0.15 * ts
         yaw = 0.05 * np.sin(2 * np.pi * ts)
     elif motion == "forward":

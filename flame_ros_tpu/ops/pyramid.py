@@ -1,0 +1,106 @@
+"""Image pyramids stored as a single padded [L, H, W] tensor.
+
+Level l is a 2^l-downsampled (2x2 mean-pooled) image occupying the top-left
+(H>>l, W>>l) corner of plane l. Keeping all levels in one fixed-shape array
+makes per-feature level selection a pure index computation — one gather
+serves every scale, which is what lets the epipolar search pick its scale
+per feature without data-dependent shapes (SURVEY §7: "epipolar search ...
+over the image pyramid").
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("num_levels",))
+def build_pyramid(img, num_levels: int = 3):
+    """img [H, W] -> [L, H, W] padded pyramid (2x2 mean pooling)."""
+    H, W = img.shape
+    assert H % (1 << (num_levels - 1)) == 0
+    assert W % (1 << (num_levels - 1)) == 0
+    out = jnp.zeros((num_levels, H, W), img.dtype)
+    out = out.at[0].set(img)
+    cur = img
+    for l in range(1, num_levels):
+        cur = 0.25 * (cur[0::2, 0::2] + cur[1::2, 0::2]
+                      + cur[0::2, 1::2] + cur[1::2, 1::2])
+        out = out.at[l, :H >> l, :W >> l].set(cur)
+    return out
+
+
+def _level_coords(uv, level_f):
+    """Level-0 pixel coords -> level-l coords (pixel-center aligned)."""
+    scale = jnp.exp2(-level_f)
+    u = (uv[..., 0] + 0.5) * scale - 0.5
+    v = (uv[..., 1] + 0.5) * scale - 0.5
+    return u, v, scale
+
+
+def bilinear_pyramid(pyr, uv, level, *, out_of_bounds: float = 0.0):
+    """Bilinear sample pyramid at level-0 coords `uv` from `level` (int32,
+    broadcastable to uv[..., 0]). Returns (values, valid)."""
+    L, H, W = pyr.shape
+    level = jnp.broadcast_to(level, uv[..., 0].shape)
+    level_f = level.astype(jnp.float32)
+    u, v, scale = _level_coords(uv, level_f)
+    Wl = W * scale
+    Hl = H * scale
+    valid = (u >= 0) & (u <= Wl - 1) & (v >= 0) & (v <= Hl - 1)
+    u = jnp.clip(u, 0.0, jnp.maximum(Wl - 1.000001, 0.0))
+    v = jnp.clip(v, 0.0, jnp.maximum(Hl - 1.000001, 0.0))
+    u0 = jnp.minimum(jnp.floor(u).astype(jnp.int32),
+                     (Wl - 2).astype(jnp.int32))
+    v0 = jnp.minimum(jnp.floor(v).astype(jnp.int32),
+                     (Hl - 2).astype(jnp.int32))
+    u0 = jnp.maximum(u0, 0)
+    v0 = jnp.maximum(v0, 0)
+    au = u - u0
+    av = v - v0
+    flat = pyr.reshape(-1)
+    idx = level * (H * W) + v0 * W + u0
+    i00 = jnp.take(flat, idx, mode="clip")
+    i01 = jnp.take(flat, idx + 1, mode="clip")
+    i10 = jnp.take(flat, idx + W, mode="clip")
+    i11 = jnp.take(flat, idx + W + 1, mode="clip")
+    val = ((i00 * (1 - au) + i01 * au) * (1 - av)
+           + (i10 * (1 - au) + i11 * au) * av)
+    return jnp.where(valid, val, out_of_bounds), valid
+
+
+def bilinear_pyramid_batched(pyrs_flat, row_idx, shape, uv, level,
+                             *, out_of_bounds: float = 0.0):
+    """Like bilinear_pyramid but over a batch of pyramids.
+
+    pyrs_flat: [K, L*H*W] flattened pyramids; row_idx: [N] int32 selecting a
+    pyramid per leading element of uv [N, ..., 2]; shape: (L, H, W).
+    """
+    L, H, W = shape
+    level = jnp.broadcast_to(level, uv[..., 0].shape)
+    level_f = level.astype(jnp.float32)
+    u, v, scale = _level_coords(uv, level_f)
+    Wl = W * scale
+    Hl = H * scale
+    valid = (u >= 0) & (u <= Wl - 1) & (v >= 0) & (v <= Hl - 1)
+    u = jnp.clip(u, 0.0, jnp.maximum(Wl - 1.000001, 0.0))
+    v = jnp.clip(v, 0.0, jnp.maximum(Hl - 1.000001, 0.0))
+    u0 = jnp.maximum(jnp.minimum(jnp.floor(u).astype(jnp.int32),
+                                 (Wl - 2).astype(jnp.int32)), 0)
+    v0 = jnp.maximum(jnp.minimum(jnp.floor(v).astype(jnp.int32),
+                                 (Hl - 2).astype(jnp.int32)), 0)
+    au = u - u0
+    av = v - v0
+    idx = level * (H * W) + v0 * W + u0
+    rows = pyrs_flat[row_idx]          # [N, L*H*W]
+    N = rows.shape[0]
+
+    def take(i):
+        return jnp.take_along_axis(rows, i.reshape(N, -1), axis=-1).reshape(i.shape)
+
+    i00, i01 = take(idx), take(idx + 1)
+    i10, i11 = take(idx + W), take(idx + W + 1)
+    val = ((i00 * (1 - au) + i01 * au) * (1 - av)
+           + (i10 * (1 - au) + i11 * au) * av)
+    return jnp.where(valid, val, out_of_bounds), valid

@@ -1,0 +1,178 @@
+import numpy as np
+import jax.numpy as jnp
+
+from flame_ros_tpu.datasets.synthetic import make_sequence, QVGA
+from flame_ros_tpu.ops.detection import detect_features, cell_grid_shape
+from flame_ros_tpu.ops.pyramid import build_pyramid
+from flame_ros_tpu.ops.epipolar import (
+    FeatureFilterState, epipolar_update, project_features,
+    STATUS_OK, STATUS_SKIPPED,
+)
+
+
+def _init_state_from_detections(seq, n_slots=512, init_mu=0.4, init_var=0.25):
+    img0 = jnp.asarray(seq.images[0])
+    occ = jnp.zeros(cell_grid_shape(seq.cam.height, seq.cam.width, 16), bool)
+    uv, score, valid = detect_features(img0, occ, win_size=16, min_grad_mag=5.0)
+    uv = np.asarray(uv)[np.asarray(valid)][:n_slots]
+    n = len(uv)
+    pad = n_slots - n
+    state = FeatureFilterState(
+        uv_ref=jnp.asarray(np.pad(uv, ((0, pad), (0, 0)))),
+        kf_idx=jnp.zeros(n_slots, jnp.int32),
+        mu=jnp.full(n_slots, init_mu, jnp.float32),
+        var=jnp.full(n_slots, init_var, jnp.float32),
+        dropouts=jnp.zeros(n_slots, jnp.int32),
+        valid=jnp.asarray(np.arange(n_slots) < n),
+        frame_id=jnp.zeros(n_slots, jnp.int32),
+    )
+    return state, n
+
+
+def _gt_idepth_at(seq, uv):
+    d = seq.depths[0]
+    u = np.clip(np.round(uv[:, 0]).astype(int), 0, d.shape[1] - 1)
+    v = np.clip(np.round(uv[:, 1]).astype(int), 0, d.shape[0] - 1)
+    depth = d[v, u]
+    return np.where(depth > 0, 1.0 / np.maximum(depth, 1e-6), 0.0)
+
+
+def _pyr(img):
+    return build_pyramid(jnp.asarray(img))
+
+
+def test_epipolar_converges_to_gt_idepth():
+    """Golden test: posterior converges to GT inverse depth on synthetic.
+
+    Depth-edge features have genuinely ambiguous nearest-pixel GT, and a few
+    percent of wrong-lobe outliers are expected (the downstream NLTGV2-L1
+    regularizer's L1 data term absorbs them) — so acceptance is on the
+    median + inlier statistics, not worst case.
+    """
+    seq = make_sequence(n_frames=10, cam=QVGA, motion="strafe")
+    state, n = _init_state_from_detections(seq)
+    kf_pyrs = _pyr(seq.images[0])[None]
+    kf_q, kf_t = seq.poses.q[:1], seq.poses.t[:1]
+
+    mid_status = None
+    for i in range(1, 10):
+        res = epipolar_update(
+            state, kf_pyrs, kf_q, kf_t,
+            _pyr(seq.images[i]), seq.poses.q[i], seq.poses.t[i],
+            cam=seq.cam)
+        state = res.state
+        if i == 5:
+            mid_status = np.asarray(res.status)
+
+    gt = _gt_idepth_at(seq, np.asarray(state.uv_ref))
+    valid = np.asarray(state.valid) & (gt > 0)
+    conv = valid & (np.asarray(state.var) < 0.01)
+    assert conv.sum() > 0.5 * n, f"only {conv.sum()}/{n} converged"
+    err = np.abs(np.asarray(state.mu) - gt)[conv]
+    assert np.median(err) < 0.01, f"median idepth err {np.median(err)}"
+    inlier = err < 0.05
+    assert inlier.mean() > 0.85, f"inlier fraction {inlier.mean()}"
+    rmse_in = np.sqrt((err[inlier] ** 2).mean())
+    assert rmse_in < 0.02, f"inlier idepth RMSE {rmse_in}"
+    ok_frac = (mid_status[valid] == STATUS_OK).mean()
+    assert ok_frac > 0.5, f"mid-frame success fraction {ok_frac}"
+
+
+def test_epipolar_no_parallax_skips():
+    seq = make_sequence(n_frames=2, cam=QVGA, motion="static")
+    state, n = _init_state_from_detections(seq)
+    res = epipolar_update(
+        state, _pyr(seq.images[0])[None],
+        seq.poses.q[:1], seq.poses.t[:1],
+        _pyr(seq.images[1]), seq.poses.q[1], seq.poses.t[1],
+        cam=seq.cam)
+    status = np.asarray(res.status)[np.asarray(state.valid)]
+    assert (status == STATUS_SKIPPED).all()
+    np.testing.assert_allclose(np.asarray(res.state.mu),
+                               np.asarray(state.mu))
+    assert int(res.counts["num_idepth_updates"]) == 0
+
+
+def _tiny_state(uv, mu=0.4, var=0.25):
+    n = len(uv)
+    return FeatureFilterState(
+        uv_ref=jnp.asarray(np.asarray(uv, np.float32)),
+        kf_idx=jnp.zeros(n, jnp.int32),
+        mu=jnp.full(n, mu, jnp.float32),
+        var=jnp.full(n, var, jnp.float32),
+        dropouts=jnp.zeros(n, jnp.int32),
+        valid=jnp.ones(n, bool),
+        frame_id=jnp.zeros(n, jnp.int32),
+    )
+
+
+def test_epipolar_flat_patch_fails_ref_grad():
+    seq = make_sequence(n_frames=2, cam=QVGA, motion="strafe")
+    imgs = np.full_like(seq.images, 100.0)
+    state = _tiny_state([[160.0, 120.0], [100.0, 80.0]])
+    res = epipolar_update(
+        state, _pyr(imgs[0])[None], seq.poses.q[:1], seq.poses.t[:1],
+        _pyr(imgs[1]), seq.poses.q[1], seq.poses.t[1], cam=seq.cam)
+    assert int(res.counts["num_fail_ref_patch_grad"]) == 2
+
+
+def test_dropout_kill():
+    """Features that repeatedly fail get killed after max_dropouts."""
+    seq = make_sequence(n_frames=2, cam=QVGA, motion="strafe")
+    state = _tiny_state([[160.0, 120.0]])
+    rng = np.random.default_rng(0)
+    noise = rng.uniform(0, 255, seq.images[1].shape).astype(np.float32)
+    kf = _pyr(seq.images[0])[None]
+    cur = _pyr(noise)
+    for i in range(7):
+        res = epipolar_update(
+            state, kf, seq.poses.q[:1], seq.poses.t[:1],
+            cur, seq.poses.q[1], seq.poses.t[1],
+            cam=seq.cam, max_cost=10.0)
+        state = res.state
+    assert not bool(state.valid[0])
+
+
+def test_project_features_matches_gt_projection():
+    seq = make_sequence(n_frames=5, cam=QVGA, motion="strafe")
+    uv = np.array([[100.0, 100.0], [200.0, 150.0], [60.0, 60.0]], np.float32)
+    gt = _gt_idepth_at(seq, uv)
+    state = _tiny_state(uv)
+    state = state._replace(mu=jnp.asarray(gt.astype(np.float32)),
+                           var=jnp.full(3, 1e-4, jnp.float32))
+    uv_cur, idepth_cur, inb = project_features(
+        state, seq.poses.q[:1], seq.poses.t[:1],
+        seq.poses.q[4], seq.poses.t[4], seq.cam)
+    from flame_ros_tpu.geometry.se3 import SE3
+    T0 = SE3(seq.poses.q[0], seq.poses.t[0])
+    T4 = SE3(seq.poses.q[4], seq.poses.t[4])
+    X0 = seq.cam.backproject(jnp.asarray(uv), jnp.asarray(gt))
+    Xc = T4.inverse().apply(T0.apply(X0))
+    expect = np.asarray(seq.cam.project(Xc))
+    np.testing.assert_allclose(np.asarray(uv_cur), expect, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(idepth_cur),
+                               1.0 / np.asarray(Xc)[:, 2], rtol=1e-5)
+
+
+def test_pyramid_roundtrip():
+    from flame_ros_tpu.ops.pyramid import bilinear_pyramid
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.normal(size=(32, 64)).astype(np.float32))
+    pyr = build_pyramid(img, 3)
+    # Level 0 sampling matches the raw image.
+    uv = jnp.array([[5.0, 7.0], [20.5, 11.25]])
+    v0, ok0 = bilinear_pyramid(pyr, uv, jnp.zeros(2, jnp.int32))
+    from flame_ros_tpu.ops.interp import bilinear
+    vref, _ = bilinear(img, uv)
+    np.testing.assert_allclose(v0, vref, atol=1e-5)
+    assert bool(ok0.all())
+    # Level 1 of a constant image is constant.
+    cpyr = build_pyramid(jnp.full((32, 64), 3.5), 3)
+    v1, ok1 = bilinear_pyramid(cpyr, uv, jnp.ones(2, jnp.int32))
+    np.testing.assert_allclose(v1, [3.5, 3.5], atol=1e-6)
+    # Level-1 mean pooling: a 2x2 checkerboard pools to its mean.
+    cb = jnp.asarray(np.indices((32, 64)).sum(0) % 2 * 10.0)
+    pyr_cb = build_pyramid(cb, 2)
+    vc, _ = bilinear_pyramid(pyr_cb, jnp.array([[8.5, 8.5]]),
+                             jnp.ones(1, jnp.int32))
+    np.testing.assert_allclose(vc, [5.0], atol=1e-5)
