@@ -70,7 +70,10 @@ class Nltgv2Params:
     data_factor: float = 0.15            # Data-vs-smoothness balance (lambda).
     step_x: float = 0.001                # Primal step size.
     step_q: float = 125.0                # Dual step size.
-    theta: float = 0.25                  # Extra-gradient (over-relaxation) factor.
+    # Extra-gradient (over-relaxation) factor. The reference default is
+    # 0.25 with hand-tuned fixed steps; with diagonal preconditioning
+    # (our default solver) theory and practice want 1.0.
+    theta: float = 1.0
     min_height: float = -1e14            # Height gate for graph insertion.
     max_height: float = 1e14
     check_sticky_obstacles: bool = False

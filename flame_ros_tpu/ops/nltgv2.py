@@ -1,0 +1,217 @@
+"""NLTGV2-L1 variational smoothing over the Delaunay graph, on device.
+
+The regularization core of FLaME (reference: `do_nltgv2` + the nltgv2
+parameter tree — cfg/flame_nodelet.yaml:78-91, SURVEY §2.9): per-vertex
+inverse depth x_i and plane gradient w_i = (w1, w2), per-edge dual q_ij in
+R^3, minimizing
+
+    sum_ij  alpha_ij |x_i - x_j - <w_i, p_i - p_j>|
+          + beta_ij (|w_i1 - w_j1| + |w_i2 - w_j2|)
+          + sum_i lambda_i |x_i - z_i|
+
+(non-local total generalized variation, 2nd order, Ranftl et al., with an
+L1 data term robust to epipolar-filter outliers) by a first-order
+primal-dual method (Chambolle–Pock): dual ascent + clip onto the L-inf
+ball, primal descent + soft-shrinkage toward the measurements z, and an
+extra-gradient step theta — the reference's step_x/step_q/theta knobs.
+
+TPU design: the graph lives as fixed-shape edge lists ([E,2] int32 with a
+validity mask); one iteration is two gathers, a handful of fused VPU ops,
+and two segment-sums — no data-dependent shapes, so the whole
+`pd_iterate` loop jits into a single XLA while-loop that runs every frame
+between (host-side, poseframe-rate) retriangulations. Edge weights use
+alpha_ij = beta_ij = 1/|p_i - p_j| which normalizes the operator so
+diagonal (Pock-Chambolle 2011) preconditioning keeps the iteration
+unconditionally stable for any mesh geometry; the reference's fixed
+step_x/step_q are honored in the optional unpreconditioned mode.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class GraphState(NamedTuple):
+    """Primal/dual variables. Vertex arrays [V]-shaped, edge arrays [E]."""
+    x: jax.Array        # [V] smoothed inverse depth
+    w: jax.Array        # [V, 2] plane gradients
+    q: jax.Array        # [E, 3] duals
+    x_bar: jax.Array    # [V] extragradient iterate
+    w_bar: jax.Array    # [V, 2]
+
+
+class GraphTopology(NamedTuple):
+    """Static-shape graph: padded edge list + per-edge geometry."""
+    edges: jax.Array      # [E, 2] int32 (i, j); padding rows point at 0
+    edge_valid: jax.Array  # [E] bool
+    dp: jax.Array         # [E, 2] p_i - p_j (pixels)
+    alpha: jax.Array      # [E] first-order weight (0 on padding)
+    beta: jax.Array       # [E] second-order weight
+
+
+def build_topology(edges, edge_valid, vtx_pos):
+    """Compute per-edge geometry/weights from vertex positions.
+
+    edges: [E, 2] int32, edge_valid: [E] bool, vtx_pos: [V, 2] float32.
+    """
+    pi = vtx_pos[edges[:, 0]]
+    pj = vtx_pos[edges[:, 1]]
+    dp = pi - pj
+    dist = jnp.linalg.norm(dp, axis=-1)
+    inv = jnp.where(edge_valid, 1.0 / jnp.maximum(dist, 1.0), 0.0)
+    return GraphTopology(edges=edges, edge_valid=edge_valid, dp=dp,
+                         alpha=inv, beta=inv)
+
+
+def init_graph_state(x0, w0=None, q0=None):
+    V = x0.shape[0]
+    w = jnp.zeros((V, 2), x0.dtype) if w0 is None else w0
+    E = None
+    if q0 is None:
+        raise ValueError("q0 (dual init, [E,3]) is required")
+    return GraphState(x=x0, w=w, q=q0, x_bar=x0, w_bar=w)
+
+
+def _K_apply(top: GraphTopology, x, w):
+    """Edge operator K(x, w) -> [E, 3]."""
+    i, j = top.edges[:, 0], top.edges[:, 1]
+    k1 = top.alpha * (x[i] - x[j]
+                      - w[i, 0] * top.dp[:, 0] - w[i, 1] * top.dp[:, 1])
+    k2 = top.beta * (w[i, 0] - w[j, 0])
+    k3 = top.beta * (w[i, 1] - w[j, 1])
+    return jnp.stack([k1, k2, k3], axis=-1)
+
+
+def _KT_apply(top: GraphTopology, q, num_vertices: int):
+    """Adjoint K^T q -> (gx [V], gw [V,2])."""
+    i, j = top.edges[:, 0], top.edges[:, 1]
+    a_q1 = top.alpha * q[:, 0]
+    b_q2 = top.beta * q[:, 1]
+    b_q3 = top.beta * q[:, 2]
+    gx = (jnp.zeros(num_vertices, q.dtype)
+          .at[i].add(a_q1).at[j].add(-a_q1))
+    gw1 = (jnp.zeros(num_vertices, q.dtype)
+           .at[i].add(-a_q1 * top.dp[:, 0] + b_q2).at[j].add(-b_q2))
+    gw2 = (jnp.zeros(num_vertices, q.dtype)
+           .at[i].add(-a_q1 * top.dp[:, 1] + b_q3).at[j].add(-b_q3))
+    return gx, jnp.stack([gw1, gw2], axis=-1)
+
+
+def _precond_steps(top: GraphTopology, num_vertices: int):
+    """Pock-Chambolle diagonal preconditioners (a=1):
+    sigma_row = 1/sum|K_row|, tau_col = 1/sum|K_col|."""
+    i, j = top.edges[:, 0], top.edges[:, 1]
+    absa = jnp.abs(top.alpha)
+    absb = jnp.abs(top.beta)
+    adp1 = jnp.abs(top.alpha * top.dp[:, 0])
+    adp2 = jnp.abs(top.alpha * top.dp[:, 1])
+    # Row sums (per edge, per dual component).
+    row1 = absa + absa + adp1 + adp2
+    row2 = absb + absb
+    row3 = row2
+    sigma = 1.0 / jnp.maximum(jnp.stack([row1, row2, row3], -1), 1e-6)
+    # Column sums (per primal variable).
+    col_x = (jnp.zeros(num_vertices).at[i].add(absa).at[j].add(absa))
+    col_w1 = (jnp.zeros(num_vertices)
+              .at[i].add(adp1 + absb).at[j].add(absb))
+    col_w2 = (jnp.zeros(num_vertices)
+              .at[i].add(adp2 + absb).at[j].add(absb))
+    tau_x = 1.0 / jnp.maximum(col_x, 1e-6)
+    tau_w = 1.0 / jnp.maximum(jnp.stack([col_w1, col_w2], -1), 1e-6)
+    return sigma, tau_x, tau_w
+
+
+@partial(jax.jit, static_argnames=("num_iters", "precondition"))
+def pd_iterate(state: GraphState, top: GraphTopology, z, lam, vtx_valid,
+               *, num_iters: int = 10, step_x: float = 0.001,
+               step_q: float = 125.0, theta: float = 1.0,
+               precondition: bool = True):
+    """Run `num_iters` primal-dual sweeps.
+
+    z: [V] measured inverse depths (data term anchors);
+    lam: [V] per-vertex data weights (lambda_i, already includes
+    data_factor and any adaptive/rescale handling);
+    vtx_valid: [V] bool — frozen vertices pass through unchanged.
+    """
+    V = state.x.shape[0]
+    if precondition:
+        sigma, tau_x, tau_w = _precond_steps(top, V)
+        # theta from the reference acts as the extra-gradient weight.
+    else:
+        sigma = jnp.full((top.edges.shape[0], 3), step_q)
+        tau_x = jnp.full((V,), step_x)
+        tau_w = jnp.full((V, 2), step_x)
+
+    vmask = vtx_valid.astype(state.x.dtype)
+
+    def body(_, s: GraphState):
+        # Dual ascent + projection onto the L-inf unit ball.
+        Kx = _K_apply(top, s.x_bar, s.w_bar)
+        q = jnp.clip(s.q + sigma * Kx, -1.0, 1.0)
+        q = q * top.edge_valid[:, None]
+        # Primal descent.
+        gx, gw = _KT_apply(top, q, V)
+        x_desc = s.x - tau_x * gx
+        w_new = s.w - tau_w * gw
+        # Prox of lambda|x - z| (soft shrinkage toward the measurement).
+        r = x_desc - z
+        thr = tau_x * lam
+        x_new = z + jnp.sign(r) * jnp.maximum(jnp.abs(r) - thr, 0.0)
+        # Frozen/invalid vertices keep their values.
+        x_new = vmask * x_new + (1 - vmask) * s.x
+        w_new = vmask[:, None] * w_new + (1 - vmask[:, None]) * s.w
+        # Extra-gradient.
+        x_bar = x_new + theta * (x_new - s.x)
+        w_bar = w_new + theta * (w_new - s.w)
+        return GraphState(x=x_new, w=w_new, q=q, x_bar=x_bar, w_bar=w_bar)
+
+    return jax.lax.fori_loop(0, num_iters, body, state)
+
+
+@jax.jit
+def nltgv2_costs(state: GraphState, top: GraphTopology, z, lam, vtx_valid):
+    """Smoothness/data costs for telemetry (reference FlameStats fields
+    nltgv2_total/avg_smoothness_cost, nltgv2_total/avg_data_cost)."""
+    K = _K_apply(top, state.x, state.w)
+    smooth = jnp.sum(jnp.abs(K) * top.edge_valid[:, None])
+    data = jnp.sum(jnp.abs(state.x - z) * lam * vtx_valid)
+    n = jnp.maximum(jnp.sum(vtx_valid.astype(jnp.float32)), 1.0)
+    return {
+        "nltgv2_total_smoothness_cost": smooth,
+        "nltgv2_avg_smoothness_cost": smooth / n,
+        "nltgv2_total_data_cost": data,
+        "nltgv2_avg_data_cost": data / n,
+    }
+
+
+def data_weights(var, valid, *, data_factor: float,
+                 adaptive: bool, rescale: bool):
+    """Per-vertex lambda_i (reference adaptive_data_weights / rescale_data
+    semantics: adaptive -> weight by inverse posterior variance; rescale ->
+    normalize weights to mean 1 over valid vertices)."""
+    base = jnp.where(valid, 1.0, 0.0)
+    if adaptive:
+        base = jnp.where(valid, 1.0 / jnp.maximum(var, 1e-4), 0.0)
+    if rescale:
+        mean = jnp.sum(base) / jnp.maximum(
+            jnp.sum(valid.astype(jnp.float32)), 1.0)
+        base = base / jnp.maximum(mean, 1e-6)
+    return data_factor * base
+
+
+@jax.jit
+def graph_lowpass(x, edges, edge_valid, vtx_valid, alpha: float = 0.5):
+    """Neighborhood lowpass over the graph (reference do_lowpass_filter):
+    x_i <- (1-alpha) x_i + alpha * mean of valid neighbors."""
+    V = x.shape[0]
+    i, j = edges[:, 0], edges[:, 1]
+    ew = edge_valid.astype(x.dtype)
+    ssum = (jnp.zeros(V, x.dtype).at[i].add(ew * x[j]).at[j].add(ew * x[i]))
+    scnt = (jnp.zeros(V, x.dtype).at[i].add(ew).at[j].add(ew))
+    mean = ssum / jnp.maximum(scnt, 1.0)
+    has_nb = scnt > 0
+    out = jnp.where(vtx_valid & has_nb, (1 - alpha) * x + alpha * mean, x)
+    return out

@@ -11,7 +11,9 @@ def test_defaults_match_reference_yaml():
     assert p.features.tracking.max_dropouts == 5
     assert p.regularization.nltgv2.data_factor == 0.15
     assert p.regularization.nltgv2.step_q == 125.0
-    assert p.regularization.nltgv2.theta == 0.25
+    # theta deviates from the reference default deliberately: preconditioned
+    # primal-dual wants theta=1 (see Nltgv2Params).
+    assert p.regularization.nltgv2.theta == 1.0
     assert p.input.poseframe_subsample_factor == 6
     assert p.output.load_integration_factor == 15
     assert p.output.edge_length_thresh == 0.333

@@ -1,0 +1,137 @@
+import numpy as np
+import jax.numpy as jnp
+
+from flame_ros_tpu.graph.delaunay import triangulate, edges_from_triangles
+from flame_ros_tpu.ops.nltgv2 import (
+    GraphState, build_topology, pd_iterate, nltgv2_costs, data_weights,
+    graph_lowpass,
+)
+
+
+def _grid_graph(rng, nx=20, ny=15, spacing=16.0, jitter=4.0):
+    xs, ys = np.meshgrid(np.arange(nx) * spacing, np.arange(ny) * spacing)
+    pts = np.stack([xs.ravel(), ys.ravel()], -1).astype(np.float32)
+    pts += rng.uniform(-jitter, jitter, pts.shape).astype(np.float32)
+    tris = triangulate(pts)
+    edges = edges_from_triangles(tris)
+    return pts, edges
+
+
+def _pad_edges(edges, E):
+    ev = np.zeros(E, bool)
+    ev[:len(edges)] = True
+    out = np.zeros((E, 2), np.int32)
+    out[:len(edges)] = edges
+    return jnp.asarray(out), jnp.asarray(ev)
+
+
+def _energy(state, top, z, lam, valid):
+    c = nltgv2_costs(state, top, z, lam, valid)
+    return float(c["nltgv2_total_smoothness_cost"]
+                 + c["nltgv2_total_data_cost"])
+
+
+def test_planar_recovery_with_outliers(rng):
+    """A 3D plane has affine inverse depth in pixel coords -> NLTGV2's null
+    space. The L1 data term must reject sparse gross outliers."""
+    pts, edges = _grid_graph(rng)
+    V = len(pts)
+    E = 2048
+    e, ev = _pad_edges(edges, E)
+    top = build_topology(e, ev, jnp.asarray(pts))
+
+    a, b, c = 4e-4, -2e-4, 0.3
+    z_true = (a * pts[:, 0] + b * pts[:, 1] + c).astype(np.float32)
+    z = z_true + rng.normal(0, 0.002, V).astype(np.float32)
+    out_idx = rng.choice(V, V // 20, replace=False)
+    z[out_idx] += rng.choice([-0.3, 0.3], len(out_idx)).astype(np.float32)
+
+    valid = jnp.ones(V, bool)
+    lam = data_weights(jnp.full(V, 1e-3), valid, data_factor=0.15,
+                       adaptive=False, rescale=False)
+    state = GraphState(x=jnp.asarray(z), w=jnp.zeros((V, 2), jnp.float32),
+                       q=jnp.zeros((E, 3), jnp.float32),
+                       x_bar=jnp.asarray(z), w_bar=jnp.zeros((V, 2), jnp.float32))
+    e0 = _energy(state, top, jnp.asarray(z), lam, valid)
+    state = pd_iterate(state, top, jnp.asarray(z), lam, valid, num_iters=500)
+    e1 = _energy(state, top, jnp.asarray(z), lam, valid)
+    assert e1 < e0, f"energy did not decrease: {e0} -> {e1}"
+
+    x = np.asarray(state.x)
+    err = np.abs(x - z_true)
+    # Outliers pulled to the plane.
+    assert np.median(err[out_idx]) < 0.02, \
+        f"outlier median err {np.median(err[out_idx])}"
+    # Inliers stay accurate.
+    inl = np.setdiff1d(np.arange(V), out_idx)
+    assert np.sqrt((err[inl] ** 2).mean()) < 0.01
+    # Plane gradients w approximate the true slope (scaled by pixels).
+    w = np.asarray(state.w)
+    assert abs(np.median(w[:, 0]) - a) < 2e-4
+    assert abs(np.median(w[:, 1]) - b) < 2e-4
+
+
+def test_frozen_vertices_unchanged(rng):
+    pts, edges = _grid_graph(rng, nx=6, ny=5)
+    V = len(pts)
+    e, ev = _pad_edges(edges, 256)
+    top = build_topology(e, ev, jnp.asarray(pts))
+    z = rng.normal(0.4, 0.05, V).astype(np.float32)
+    valid = np.ones(V, bool)
+    valid[::3] = False
+    x0 = jnp.asarray(z.copy())
+    state = GraphState(x=x0, w=jnp.zeros((V, 2), jnp.float32),
+                       q=jnp.zeros((256, 3), jnp.float32),
+                       x_bar=x0, w_bar=jnp.zeros((V, 2), jnp.float32))
+    lam = data_weights(jnp.full(V, 1e-3), jnp.asarray(valid),
+                       data_factor=0.15, adaptive=False, rescale=False)
+    out = pd_iterate(state, top, jnp.asarray(z), lam, jnp.asarray(valid),
+                     num_iters=50)
+    np.testing.assert_allclose(np.asarray(out.x)[~valid], z[~valid])
+
+
+def test_padding_edges_are_noops(rng):
+    """Identical result with and without extra padding rows."""
+    pts, edges = _grid_graph(rng, nx=5, ny=4)
+    V = len(pts)
+    z = rng.normal(0.4, 0.05, V).astype(np.float32)
+    valid = jnp.ones(V, bool)
+    lam = data_weights(jnp.full(V, 1e-3), valid, data_factor=0.15,
+                       adaptive=False, rescale=False)
+
+    results = []
+    for E in (len(edges), 4 * len(edges)):
+        e, ev = _pad_edges(edges, E)
+        top = build_topology(e, ev, jnp.asarray(pts))
+        state = GraphState(x=jnp.asarray(z), w=jnp.zeros((V, 2), jnp.float32),
+                           q=jnp.zeros((E, 3), jnp.float32),
+                           x_bar=jnp.asarray(z),
+                           w_bar=jnp.zeros((V, 2), jnp.float32))
+        out = pd_iterate(state, top, jnp.asarray(z), lam, valid, num_iters=30)
+        results.append(np.asarray(out.x))
+    np.testing.assert_allclose(results[0], results[1], atol=1e-6)
+
+
+def test_adaptive_rescaled_weights():
+    var = jnp.asarray(np.array([1e-2, 1e-3, 1e-4], np.float32))
+    valid = jnp.ones(3, bool)
+    lam = data_weights(var, valid, data_factor=0.2, adaptive=True,
+                       rescale=True)
+    lam = np.asarray(lam)
+    # Mean of (lam/data_factor) is 1 after rescale.
+    np.testing.assert_allclose(lam.mean(), 0.2, rtol=1e-5)
+    assert lam[2] > lam[1] > lam[0]
+
+
+def test_graph_lowpass(rng):
+    pts, edges = _grid_graph(rng, nx=6, ny=5)
+    V = len(pts)
+    e, ev = _pad_edges(edges, 256)
+    x = np.full(V, 0.3, np.float32)
+    x[7] = 1.0  # spike
+    out = graph_lowpass(jnp.asarray(x), e, ev, jnp.ones(V, bool), alpha=0.5)
+    out = np.asarray(out)
+    assert out[7] < 0.7  # spike pulled toward neighbors
+    far = np.setdiff1d(np.arange(V), np.concatenate(
+        [[7], edges[np.any(edges == 7, 1)].ravel()]))
+    np.testing.assert_allclose(out[far], 0.3, atol=1e-5)
