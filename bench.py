@@ -1,0 +1,62 @@
+"""Benchmark: sustained engine throughput (frames/s/chip) at VGA.
+
+Runs the full FLaME engine loop — epipolar depth filtering, poseframe
+detection + host Delaunay, NLTGV2-L1 smoothing, dense rasterization — over
+a synthetic posed VGA sequence on the available accelerator, and prints ONE
+JSON line. vs_baseline is against the reference's implied real-time target
+of 30 fps at VGA on CPU (reference README.md:217-218 and the offline
+throttle rate: 30, cfg/flame_offline_tum.yaml; BASELINE.md).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from flame_ros_tpu.config import FlameParams
+    from flame_ros_tpu.datasets.synthetic import make_sequence, VGA
+    from flame_ros_tpu.geometry.se3 import SE3
+    from flame_ros_tpu.models.engine import Flame
+
+    n_render = 30
+    seq = make_sequence(n_frames=n_render, cam=VGA, motion="strafe")
+    params = FlameParams()
+    engine = Flame(VGA.width, VGA.height, cam=VGA, params=params)
+
+    def frame(i):
+        j = i % n_render
+        return (seq.timestamps[j] + (i // n_render), i,
+                SE3(seq.poses.q[j], seq.poses.t[j]), seq.images[j])
+
+    # Warmup: covers both poseframe and non-poseframe compiled paths.
+    warmup = 14
+    for i in range(warmup):
+        t, fid, pose, img = frame(i)
+        engine.update(t, fid, pose, img, is_poseframe=(i % 6 == 0))
+
+    n_timed = 120
+    t0 = time.perf_counter()
+    for i in range(warmup, warmup + n_timed):
+        t, fid, pose, img = frame(i)
+        engine.update(t, fid, pose, img, is_poseframe=(i % 6 == 0))
+    jax.block_until_ready(engine.state.vtx_x)
+    dt = time.perf_counter() - t0
+
+    fps = n_timed / dt
+    print(json.dumps({
+        "metric": "engine_fps_vga",
+        "value": round(fps, 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / 30.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -152,6 +152,7 @@ class EngineParams:
     sigma_window: float = 2.0    # Search range = mu +/- sigma_window * sigma.
     idepth_min: float = 1e-3     # Global inverse-depth search bounds.
     idepth_max: float = 4.0
+    init_idepth: float = 0.5     # Prior mean for brand-new features (1/m).
     init_idepth_var: float = 0.25  # Prior variance for new features.
     ambiguous_match_ratio: float = 0.85  # 2nd-best/best cost gate.
     max_cost: float = 800.0      # Max accepted SSD matching cost.

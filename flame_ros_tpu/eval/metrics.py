@@ -1,0 +1,147 @@
+"""Ground-truth evaluation: confusion matrix + stats.txt protocol.
+
+Bit-compatible reimplementation of the reference evaluation so numbers are
+directly comparable (reference: getDepthConfusionMatrix src/utils.cc:326-368,
+getTruthStats + stats.txt column schema src/flame_offline_tum.cc:320-398):
+
+- detection = strictly positive GT depth; estimate valid = non-NaN idepth;
+- true_pos: both valid -> error |xi_est - 1/depth_gt| accumulates;
+- false_pos: estimate without GT -> error |xi_est| accumulates (reference
+  charges the full estimated idepth as error);
+- false_neg: GT without estimate; true_neg: neither.
+
+The hot reduction runs on device; the writer reproduces the reference's
+stats.txt columns exactly.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+STATS_COLUMNS = (
+    "idx", "timestamp", "runtime", "num_vtx", "num_tris",
+    "true_pos", "true_neg", "false_pos", "false_neg",
+    "total_idepth_error", "avg_idepth_error", "precision", "recall",
+    "total_photo_error", "avg_photo_error",
+)
+
+
+@jax.jit
+def depth_confusion_matrix(idepths, depth):
+    """Device confusion matrix (reference getDepthConfusionMatrix).
+
+    idepths: [H, W] estimated inverse depth, NaN where invalid.
+    depth:   [H, W] GT depth in meters, <= 0 where invalid.
+    Returns dict with idepth_error map (NaN where no error defined),
+    total_error, true_pos/true_neg/false_pos/false_neg.
+    """
+    has_gt = depth > 0
+    has_est = jnp.isfinite(idepths)
+    idepth_true = jnp.where(has_gt, 1.0 / jnp.maximum(depth, 1e-9), 0.0)
+
+    tp = has_gt & has_est
+    fn = has_gt & ~has_est
+    fp = ~has_gt & has_est
+    tn = ~has_gt & ~has_est
+
+    err_tp = jnp.abs(jnp.nan_to_num(idepths) - idepth_true)
+    err_fp = jnp.abs(jnp.nan_to_num(idepths))
+    err = jnp.where(tp, err_tp, jnp.where(fp, err_fp, jnp.nan))
+    total = jnp.sum(jnp.where(tp | fp, jnp.nan_to_num(err), 0.0))
+    return {
+        "idepth_error": err,
+        "total_error": total,
+        "true_pos": jnp.sum(tp.astype(jnp.int32)),
+        "true_neg": jnp.sum(tn.astype(jnp.int32)),
+        "false_pos": jnp.sum(fp.astype(jnp.int32)),
+        "false_neg": jnp.sum(fn.astype(jnp.int32)),
+    }
+
+
+@jax.jit
+def idepth_rmse(idepths, depth):
+    """Inverse-depth RMSE over pixels with both GT and estimate (the
+    BASELINE.md headline accuracy metric)."""
+    has = (depth > 0) & jnp.isfinite(idepths)
+    idepth_true = jnp.where(depth > 0, 1.0 / jnp.maximum(depth, 1e-9), 0.0)
+    se = jnp.where(has, (jnp.nan_to_num(idepths) - idepth_true) ** 2, 0.0)
+    n = jnp.maximum(jnp.sum(has.astype(jnp.float32)), 1.0)
+    return jnp.sqrt(jnp.sum(se) / n)
+
+
+@dataclass
+class TruthStats:
+    true_pos: int
+    true_neg: int
+    false_pos: int
+    false_neg: int
+    total_error: float
+    avg_error: float
+    precision: float
+    recall: float
+    rmse: float
+    idepth_error: np.ndarray
+
+
+def truth_stats(idepths: np.ndarray, depth: np.ndarray) -> TruthStats:
+    """Host-facing wrapper (reference getTruthStats computation block)."""
+    cm = depth_confusion_matrix(jnp.asarray(idepths, jnp.float32),
+                                jnp.asarray(depth, jnp.float32))
+    rmse = float(idepth_rmse(jnp.asarray(idepths, jnp.float32),
+                             jnp.asarray(depth, jnp.float32)))
+    tp = int(cm["true_pos"])
+    tn = int(cm["true_neg"])
+    fp = int(cm["false_pos"])
+    fn = int(cm["false_neg"])
+    total = float(cm["total_error"])
+    denom_p = tp + fp
+    denom_r = tp + fn
+    return TruthStats(
+        true_pos=tp, true_neg=tn, false_pos=fp, false_neg=fn,
+        total_error=total,
+        avg_error=total / denom_p if denom_p else float("nan"),
+        precision=tp / denom_p if denom_p else float("nan"),
+        recall=tp / denom_r if denom_r else float("nan"),
+        rmse=rmse,
+        idepth_error=np.asarray(cm["idepth_error"]),
+    )
+
+
+class StatsFileWriter:
+    """Appends the reference's stats.txt rows (exact column schema,
+    src/flame_offline_tum.cc:360-396)."""
+
+    def __init__(self, output_dir: str, fname: str = "stats.txt"):
+        os.makedirs(output_dir, exist_ok=True)
+        self.path = os.path.join(output_dir, fname)
+        self._wrote_header = os.path.exists(self.path) and \
+            os.path.getsize(self.path) > 0
+
+    def append(self, idx: int, timestamp: float, runtime_ms: float,
+               num_vtx: int, num_tris: int, ts: TruthStats,
+               total_photo_error: float, avg_photo_error: float):
+        with open(self.path, "a") as f:
+            if not self._wrote_header:
+                f.write(" ".join(STATS_COLUMNS) + "\n")
+                self._wrote_header = True
+            f.write(f"{idx} {timestamp:.6f} {runtime_ms:.6f} "
+                    f"{num_vtx} {num_tris} "
+                    f"{ts.true_pos} {ts.true_neg} {ts.false_pos} "
+                    f"{ts.false_neg} "
+                    f"{ts.total_error:.6f} {ts.avg_error:.6f} "
+                    f"{ts.precision:.6f} {ts.recall:.6f} "
+                    f"{total_photo_error:.6f} {avg_photo_error:.6f}\n")
+
+
+def load_stats_file(path: str) -> dict:
+    """Parse a stats.txt back into column arrays."""
+    with open(path) as f:
+        header = f.readline().split()
+        rows = [[float(x) for x in line.split()] for line in f if line.strip()]
+    arr = np.asarray(rows)
+    return {c: arr[:, i] for i, c in enumerate(header)} if len(rows) else \
+        {c: np.zeros(0) for c in header}

@@ -1,0 +1,261 @@
+"""Offline dataset frontends: TUM / EuRoC-ASL / synthetic batch runners.
+
+Capability parity with FlameOfflineTUM (reference src/flame_offline_tum.cc)
+and FlameOffline/ASL (src/flame_offline_asl.cc): wire an offline stream to
+the engine, process frames at an optional throttle rate, compute GT truth
+stats per frame (confusion matrix + stats.txt, reference protocol), stream
+per-frame telemetry as JSONL (replacing FlameStats messages), and export
+mesh/depth products.
+
+Usage (module CLI):
+  python -m flame_ros_tpu.frontends.offline_runner --dataset synthetic \
+      --frames 60 --out /tmp/flame_out
+  python -m flame_ros_tpu.frontends.offline_runner --dataset tum \
+      --input assoc.txt --calib calib.yaml --input-frame RDF --out out/
+  python -m flame_ros_tpu.frontends.offline_runner --dataset asl \
+      --pose-path mav0/state_groundtruth_estimate0 --rgb-path mav0/cam0 \
+      --world-frame RDF --out out/
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time as time_mod
+from dataclasses import dataclass
+from typing import Iterable, Optional
+
+import numpy as np
+
+from flame_ros_tpu.config import FlameParams
+from flame_ros_tpu.eval.metrics import StatsFileWriter, truth_stats
+from flame_ros_tpu.geometry.se3 import SE3
+from flame_ros_tpu.models.engine import Flame
+from flame_ros_tpu.utils.load_tracker import LoadTracker
+
+
+@dataclass
+class RunResult:
+    frames_processed: int = 0
+    frames_failed: int = 0
+    fps: float = 0.0
+    mean_rmse: float = float("nan")
+    mean_precision: float = float("nan")
+    mean_recall: float = float("nan")
+    final_coverage: float = 0.0
+    stats_path: Optional[str] = None
+
+
+def run_offline(frames: Iterable, cam, params: FlameParams,
+                out_dir: Optional[str] = None,
+                pass_in_truth: bool = False,
+                rate: float = 0.0,
+                max_frames: Optional[int] = None,
+                save_products: bool = False,
+                quiet: bool = True) -> RunResult:
+    """Drive the engine over any stream yielding frames with
+    (img_id, time, gray, depth, quat, trans) attributes."""
+    engine = Flame(cam.width, cam.height, cam=cam, params=params)
+    writer = StatsFileWriter(out_dir) if out_dir else None
+    jsonl = open(os.path.join(out_dir, "telemetry.jsonl"), "w") \
+        if out_dir else None
+    load = LoadTracker()
+    pf_every = params.input.poseframe_subsample_factor
+    sub = params.input.subsample_factor
+
+    res = RunResult()
+    rmses, precs, recs = [], [], []
+    t_start = time_mod.perf_counter()
+    n_proc = 0
+    for frame in frames:
+        if max_frames is not None and frame.img_id >= max_frames:
+            break
+        if frame.img_id % sub:
+            continue
+        pose = SE3.from_quat_trans(frame.quat, frame.trans)
+        is_pf = (n_proc % pf_every) == 0
+        has_gt = np.any(frame.depth > 0)
+        truth = None
+        if pass_in_truth and has_gt:
+            truth = np.where(frame.depth > 0,
+                             1.0 / np.maximum(frame.depth, 1e-6),
+                             0.0).astype(np.float32)
+        engine.stats_.tick("sense")
+        ok = engine.update(frame.time, frame.img_id, pose, frame.gray,
+                           is_pf, idepths_truth=truth)
+        engine.stats_.tock("sense")
+        if not ok:
+            res.frames_failed += 1
+            continue
+        n_proc += 1
+
+        st = engine.stats_
+        if has_gt:
+            est = engine.get_inverse_depth_map()
+            ts = truth_stats(est, frame.depth)
+            rmses.append(ts.rmse)
+            if np.isfinite(ts.precision):
+                precs.append(ts.precision)
+            if np.isfinite(ts.recall):
+                recs.append(ts.recall)
+            if writer:
+                writer.append(
+                    n_proc - 1, frame.time, st.timings("sense"),
+                    int(st.stats("num_vtx")), int(st.stats("num_tris")),
+                    ts, st.stats("total_photo_error"),
+                    st.stats("avg_photo_error"))
+
+        elapsed = time_mod.perf_counter() - t_start
+        st.set("fps", n_proc / max(elapsed, 1e-6))
+        st.set("fps_max", 1e3 / max(st.timings("update"), 1e-6))
+        if n_proc % params.output.load_integration_factor == 0:
+            snap = load.get()
+            st.set("pid_load_cpu", snap.pid_load.cpu)
+            st.set("pid_load_mem", snap.pid_load.mem)
+            st.set("sys_load_cpu", snap.sys_load.cpu)
+        if jsonl:
+            st.dump_jsonl(jsonl, frame.img_id, frame.time)
+        if not quiet:
+            print(f"frame {frame.img_id}: feats="
+                  f"{int(st.stats('num_feats'))} "
+                  f"tris={int(st.stats('num_tris'))} "
+                  f"coverage={st.stats('coverage'):.2f} "
+                  f"update={st.timings('update'):.1f}ms")
+        if rate > 0:
+            budget = 1.0 / rate - (time_mod.perf_counter() - t_start
+                                   - (n_proc - 1) / rate)
+            if budget > 0:
+                time_mod.sleep(budget)
+
+    res.frames_processed = n_proc
+    res.fps = n_proc / max(time_mod.perf_counter() - t_start, 1e-6)
+    if rmses:
+        res.mean_rmse = float(np.mean(rmses))
+    if precs:
+        res.mean_precision = float(np.mean(precs))
+    if recs:
+        res.mean_recall = float(np.mean(recs))
+    res.final_coverage = float(engine.stats_.stats("coverage"))
+    if writer:
+        res.stats_path = writer.path
+    if jsonl:
+        jsonl.close()
+    if out_dir and save_products:
+        uv, x, normals, tris, keep, edges = engine.get_inverse_depth_mesh()
+        np.savez(os.path.join(out_dir, "final_mesh.npz"),
+                 vertices_px=uv, idepths=x, normals=normals,
+                 triangles=tris, tri_validity=keep, edges=edges,
+                 K=cam.K)
+        np.save(os.path.join(out_dir, "final_idepth.npy"),
+                engine.get_inverse_depth_map())
+    return res
+
+
+def _build_frames(args):
+    if args.dataset == "synthetic":
+        from flame_ros_tpu.datasets.synthetic import make_sequence, QVGA, VGA
+
+        cam = VGA if args.resolution == "vga" else QVGA
+        seq = make_sequence(n_frames=args.frames or 60, cam=cam,
+                            motion=args.motion)
+
+        @dataclass
+        class F:
+            img_id: int
+            time: float
+            gray: np.ndarray
+            depth: np.ndarray
+            quat: np.ndarray
+            trans: np.ndarray
+
+        def gen():
+            for i in range(len(seq)):
+                yield F(i, seq.timestamps[i], seq.images[i], seq.depths[i],
+                        np.asarray(seq.poses.q[i]),
+                        np.asarray(seq.poses.t[i]))
+        return gen(), seq.cam
+    if args.dataset == "tum":
+        from flame_ros_tpu.datasets.tum import (
+            TUMRGBDStream, load_camera_info_yaml)
+        calib = load_camera_info_yaml(args.calib) if args.calib else None
+        stream = TUMRGBDStream(args.input, calib=calib,
+                               input_frame=args.input_frame,
+                               depth_scale_factor=args.depth_scale_factor,
+                               resize_factor=args.resize_factor)
+        return iter(stream), stream.cam
+    if args.dataset == "asl":
+        from flame_ros_tpu.datasets.asl import ASLRGBDStream
+        stream = ASLRGBDStream(args.pose_path, args.rgb_path,
+                               depth_path=args.depth_path,
+                               world_frame=args.world_frame,
+                               resize_factor=args.resize_factor)
+        return iter(stream), stream.cam
+    raise ValueError(args.dataset)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", choices=["tum", "asl", "synthetic"],
+                   required=True)
+    p.add_argument("--input", help="TUM association file")
+    p.add_argument("--calib", help="ROS CameraInfo YAML")
+    p.add_argument("--input-frame", default="RDF")
+    p.add_argument("--depth-scale-factor", type=float, default=5000.0)
+    p.add_argument("--pose-path", help="ASL pose sensor folder")
+    p.add_argument("--rgb-path", help="ASL camera folder")
+    p.add_argument("--depth-path", help="ASL depth folder")
+    p.add_argument("--world-frame", default="RDF")
+    p.add_argument("--config", help="FlameParams YAML")
+    p.add_argument("--out", help="output directory")
+    p.add_argument("--frames", type=int, help="max frames")
+    p.add_argument("--rate", type=float, default=0.0,
+                   help="throttle to N fps (0 = unthrottled)")
+    p.add_argument("--pass-in-truth", action="store_true")
+    p.add_argument("--resize-factor", type=int, default=1)
+    p.add_argument("--motion", default="strafe")
+    p.add_argument("--resolution", default="qvga",
+                   choices=["qvga", "vga"])
+    p.add_argument("--save-products", action="store_true")
+    p.add_argument("--verbose", action="store_true")
+    args = p.parse_args(argv)
+    if args.dataset == "tum" and not args.input:
+        p.error("--dataset tum requires --input <association file>")
+    if args.dataset == "asl" and not (args.pose_path and args.rgb_path):
+        p.error("--dataset asl requires --pose-path and --rgb-path")
+
+    params = (FlameParams.from_yaml(args.config) if args.config
+              else FlameParams())
+    frames, cam = _build_frames(args)
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+    res = run_offline(frames, cam, params, out_dir=args.out,
+                      pass_in_truth=args.pass_in_truth, rate=args.rate,
+                      max_frames=args.frames,
+                      save_products=args.save_products,
+                      quiet=not args.verbose)
+    summary = {
+        "frames": res.frames_processed,
+        "failed": res.frames_failed,
+        "fps": round(res.fps, 2),
+        "idepth_rmse": (round(res.mean_rmse, 5)
+                        if np.isfinite(res.mean_rmse) else None),
+        "precision": (round(res.mean_precision, 4)
+                      if np.isfinite(res.mean_precision) else None),
+        "recall": (round(res.mean_recall, 4)
+                   if np.isfinite(res.mean_recall) else None),
+        "coverage": round(res.final_coverage, 4),
+    }
+    print(json.dumps(summary))
+    return res
+
+
+def main_tum(argv=None):
+    return main(["--dataset", "tum"] + (argv or []))
+
+
+def main_asl(argv=None):
+    return main(["--dataset", "asl"] + (argv or []))
+
+
+if __name__ == "__main__":
+    main()

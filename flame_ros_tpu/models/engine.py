@@ -1,0 +1,574 @@
+"""The FLaME engine: device-resident dense monocular depth estimation.
+
+API parity with flame::Flame (reference call surface reconstructed in
+SURVEY §2.9 from flame_ros call sites: ctor `Flame(width, height, K, Kinv,
+params)` src/flame_nodelet.cc:523-527, `update(time, id, pose, gray,
+is_poseframe[, idepths_truth])` :634, mesh/depthmap/feature getters,
+`updatePoseFramePoses`/`prunePoseFrames`, `stats()`), re-architected
+TPU-first:
+
+- ALL numeric state is a pytree of fixed-shape device arrays
+  (`EngineState`): padded feature slots with validity masks, a keyframe
+  ring of image pyramids, and the Delaunay graph as padded edge/triangle
+  lists. The reference's per-feature pointer structures become masked
+  lanes.
+- One frame = two fused XLA computations around a single host sync:
+  `_track_step` (epipolar filtering + feature/graph projection +
+  detection/slot allocation on poseframes) -> [host: incremental Delaunay
+  via the native C++ triangulator, poseframe rate only] ->
+  `_smooth_step` (NLTGV2-L1 primal-dual sweeps + rasterization + photo
+  error). Non-poseframes skip the host sync entirely.
+- Stage timings keep the reference's 13-key vocabulary
+  (msg/FlameStats.msg:31-46) so telemetry is comparable.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flame_ros_tpu.config import FlameParams
+from flame_ros_tpu.geometry.camera import Pinhole
+from flame_ros_tpu.geometry.se3 import SE3, quat_conj, quat_mul, quat_rotate
+from flame_ros_tpu.graph.delaunay import triangulate, edges_from_triangles
+from flame_ros_tpu.ops import epipolar as ep_ops
+from flame_ros_tpu.ops import nltgv2 as reg_ops
+from flame_ros_tpu.ops import raster as raster_ops
+from flame_ros_tpu.ops.detection import detect_features, occupancy_from_features
+from flame_ros_tpu.ops.pyramid import build_pyramid, bilinear_pyramid
+from flame_ros_tpu.utils.stats_tracker import StatsTracker
+
+NUM_LEVELS = 3
+
+
+class EngineState(NamedTuple):
+    """Complete device-resident engine state (a pytree)."""
+    # Feature filter lanes [N].
+    feat: ep_ops.FeatureFilterState
+    # Graph primal/dual state.
+    vtx_uv: jax.Array       # [N, 2] vertex positions in current frame
+    vtx_x: jax.Array        # [N] smoothed idepth (current frame)
+    vtx_w: jax.Array        # [N, 2] plane gradients
+    vtx_z: jax.Array        # [N] data-term anchor (projected filter mean)
+    vtx_in_graph: jax.Array  # [N] bool
+    edge_q: jax.Array       # [E, 3] duals
+    edges: jax.Array        # [E, 2] int32
+    edge_valid: jax.Array   # [E] bool
+    tris: jax.Array         # [T, 3] int32
+    tri_valid: jax.Array    # [T] bool
+    # Keyframe (poseframe) ring.
+    kf_pyrs: jax.Array      # [K, L, H, W]
+    kf_q: jax.Array         # [K, 4]
+    kf_t: jax.Array         # [K, 3]
+    kf_valid: jax.Array     # [K] bool
+    kf_ids: jax.Array       # [K] int32 (frame id of each poseframe)
+    # Previous processed frame (for project_graph).
+    prev_q: jax.Array       # [4]
+    prev_t: jax.Array       # [3]
+    # Last dense idepth map (prediction source for new detections).
+    last_idepth: jax.Array  # [H, W] (NaN where invalid)
+
+
+def init_state(params: FlameParams, cam: Pinhole) -> EngineState:
+    N = params.engine.max_features
+    E = params.engine.max_edges
+    T = params.engine.max_triangles
+    K = params.engine.max_keyframes
+    H, W = cam.height, cam.width
+    f32 = jnp.float32
+    feat = ep_ops.FeatureFilterState(
+        uv_ref=jnp.zeros((N, 2), f32),
+        kf_idx=jnp.zeros((N,), jnp.int32),
+        mu=jnp.full((N,), 0.5, f32),
+        var=jnp.full((N,), params.engine.init_idepth_var, f32),
+        dropouts=jnp.zeros((N,), jnp.int32),
+        valid=jnp.zeros((N,), bool),
+        frame_id=jnp.zeros((N,), jnp.int32),
+    )
+    return EngineState(
+        feat=feat,
+        vtx_uv=jnp.zeros((N, 2), f32),
+        vtx_x=jnp.full((N,), 0.5, f32),
+        vtx_w=jnp.zeros((N, 2), f32),
+        vtx_z=jnp.full((N,), 0.5, f32),
+        vtx_in_graph=jnp.zeros((N,), bool),
+        edge_q=jnp.zeros((E, 3), f32),
+        edges=jnp.zeros((E, 2), jnp.int32),
+        edge_valid=jnp.zeros((E,), bool),
+        tris=jnp.zeros((T, 3), jnp.int32),
+        tri_valid=jnp.zeros((T,), bool),
+        kf_pyrs=jnp.zeros((K, NUM_LEVELS, H, W), f32),
+        kf_q=jnp.tile(jnp.array([1.0, 0, 0, 0], f32), (K, 1)),
+        kf_t=jnp.zeros((K, 3), f32),
+        kf_valid=jnp.zeros((K,), bool),
+        kf_ids=jnp.full((K,), -1, jnp.int32),
+        prev_q=jnp.array([1.0, 0, 0, 0], f32),
+        prev_t=jnp.zeros((3,), f32),
+        last_idepth=jnp.full((H, W), jnp.nan, f32),
+    )
+
+
+def _masked_median(vals, mask, fallback):
+    """Median of vals[mask] (device-friendly sort-based), or fallback."""
+    big = jnp.where(mask, vals, jnp.inf)
+    s = jnp.sort(big)
+    n = jnp.sum(mask.astype(jnp.int32))
+    med = s[jnp.clip(n // 2, 0, vals.shape[0] - 1)]
+    return jnp.where(n > 0, med, fallback)
+
+
+@partial(jax.jit, static_argnames=("cam", "params", "is_poseframe",
+                                   "use_truth"))
+def _track_step(state: EngineState, img_pyr, cur_q, cur_t, frame_id,
+                kf_slot, truth_idepth, *, cam: Pinhole,
+                params: FlameParams, is_poseframe: bool, use_truth: bool):
+    """Fused device computation up to the (optional) triangulation sync:
+    epipolar update -> graph/feature projection -> on poseframes: keyframe
+    ring insert + detection + free-slot allocation."""
+    eng = params.engine
+    trk = params.features.tracking
+    det = params.features.detection
+    reg = params.regularization.nltgv2
+    feat = state.feat
+
+    # --- update_idepths (epipolar + Bayes filter) ---------------------
+    res = ep_ops.epipolar_update(
+        feat, state.kf_pyrs, state.kf_q, state.kf_t, img_pyr, cur_q, cur_t,
+        cam=cam,
+        num_samples=eng.num_search_samples,
+        patch_size=trk.win_size,
+        num_levels=NUM_LEVELS,
+        sigma_window=eng.sigma_window,
+        idepth_min=eng.idepth_min,
+        idepth_max=eng.idepth_max,
+        epipolar_line_var=trk.epipolar_line_var,
+        min_ref_patch_grad=eng.min_ref_patch_grad,
+        ambiguous_match_ratio=eng.ambiguous_match_ratio,
+        max_cost=eng.max_cost,
+        max_dropouts=trk.max_dropouts,
+    )
+    feat = res.state
+
+    if use_truth:
+        # Truth-injection harness (reference analysis/pass_in_truth,
+        # src/flame_offline_tum.cc:577-595): override the filter posterior
+        # with GT idepth sampled at the reference pixel (projected to the
+        # current frame below like any measurement).
+        # The truth map is in the CURRENT frame; sample it at each
+        # feature's projected position, then convert to ref-frame idepth.
+        tmap_pyr = jnp.concatenate(
+            [truth_idepth[None],
+             jnp.zeros((NUM_LEVELS - 1,) + truth_idepth.shape,
+                       truth_idepth.dtype)])
+        uv_c, _, inb_c = ep_ops.project_features(
+            feat, state.kf_q, state.kf_t, cur_q, cur_t, cam)
+        tvals, tok = bilinear_pyramid(
+            tmap_pyr, uv_c, jnp.zeros_like(feat.kf_idx))
+        good = tok & inb_c & (tvals > 0) & feat.valid
+        # Convert current-frame truth idepth to ref-frame idepth.
+        q_rc = quat_mul(quat_conj(state.kf_q[feat.kf_idx]), cur_q)
+        t_rc = quat_rotate(quat_conj(state.kf_q[feat.kf_idx]),
+                           cur_t - state.kf_t[feat.kf_idx])
+        ray_c = cam.ray(uv_c)
+        X_ref = (quat_rotate(q_rc, ray_c)
+                 / jnp.maximum(tvals, 1e-6)[:, None] + t_rc)
+        xi_ref = 1.0 / jnp.maximum(X_ref[..., 2], 1e-6)
+        feat = feat._replace(
+            mu=jnp.where(good, xi_ref, feat.mu),
+            var=jnp.where(good, 1e-6, feat.var))
+
+    # --- project_features ---------------------------------------------
+    uv_cur, z_cur, inb = ep_ops.project_features(
+        feat, state.kf_q, state.kf_t, cur_q, cur_t, cam)
+
+    # --- project_graph -------------------------------------------------
+    # Transform last frame's smoothed vertex idepth into the current frame
+    # (vertex positions track the projected features; the primal value
+    # warm-starts from its reprojection).
+    qc = quat_conj(cur_q)
+    q_cp = quat_mul(qc, state.prev_q)
+    t_cp = quat_rotate(qc, state.prev_t - cur_t)
+    ray_prev = cam.ray(state.vtx_uv)
+    xprev = jnp.maximum(state.vtx_x, 1e-6)
+    X_c = quat_rotate(q_cp[None, :], ray_prev) / xprev[:, None] + t_cp[None, :]
+    x_proj = 1.0 / jnp.maximum(X_c[..., 2], 1e-6)
+    graph_ok = state.vtx_in_graph & (X_c[..., 2] > 1e-6)
+    vtx_x = jnp.where(graph_ok, x_proj, z_cur)
+    vtx_uv = uv_cur
+
+    kf_q, kf_t = state.kf_q, state.kf_t
+    kf_pyrs = state.kf_pyrs
+    kf_valid, kf_ids = state.kf_valid, state.kf_ids
+    counts = dict(res.counts)
+    n_detected = jnp.zeros((), jnp.int32)
+
+    if is_poseframe:
+        # --- keyframe: ring insert (+ evict features of the old slot) --
+        evict = feat.valid & (feat.kf_idx == kf_slot) & kf_valid[kf_slot]
+        feat = feat._replace(valid=feat.valid & ~evict)
+        kf_pyrs = kf_pyrs.at[kf_slot].set(img_pyr)
+        kf_q = kf_q.at[kf_slot].set(cur_q)
+        kf_t = kf_t.at[kf_slot].set(cur_t)
+        kf_valid = kf_valid.at[kf_slot].set(True)
+        kf_ids = kf_ids.at[kf_slot].set(frame_id)
+
+        # --- detection -------------------------------------------------
+        occ = occupancy_from_features(uv_cur, feat.valid & inb,
+                                      cam.height, cam.width,
+                                      det.win_size)
+        duv, dscore, dvalid = detect_features(
+            img_pyr[0], occ, win_size=det.win_size,
+            min_grad_mag=det.min_grad_mag,
+            do_letterbox=params.features.do_letterbox)
+
+        # --- allocation: k-th new detection -> k-th free slot ----------
+        free = ~feat.valid
+        order = jnp.argsort(feat.valid)          # free slots first (stable)
+        det_rank = jnp.cumsum(dvalid.astype(jnp.int32)) - 1
+        n_free = jnp.sum(free.astype(jnp.int32))
+        take = dvalid & (det_rank < n_free)
+        slot_for_det = order[jnp.clip(det_rank, 0, feat.valid.shape[0] - 1)]
+        # Initial idepth: dense prediction at the pixel if available, else
+        # the median of currently-converged features (reference
+        # init_with_prediction semantics, cfg nltgv2/init_with_prediction).
+        med = _masked_median(
+            feat.mu, feat.valid & (feat.var < reg.idepth_var_max),
+            jnp.float32(eng.init_idepth))
+        pred, pok = bilinear_pyramid(
+            jnp.concatenate([jnp.nan_to_num(state.last_idepth, nan=-1.0)[None],
+                             jnp.zeros((NUM_LEVELS - 1,) + state.last_idepth.shape)]),
+            duv, jnp.zeros(duv.shape[0], jnp.int32))
+        use_pred = (reg.init_with_prediction
+                    & pok & jnp.isfinite(pred) & (pred > eng.idepth_min))
+        mu0 = jnp.where(use_pred, jnp.nan_to_num(pred, nan=0.5), med)
+        var0 = jnp.where(use_pred, eng.init_idepth_var * 0.5,
+                         eng.init_idepth_var)
+
+        N = feat.valid.shape[0]
+        # Out-of-bounds sentinel + mode="drop": untaken detections scatter
+        # nowhere (clipping would corrupt slot N-1 with unspecified order).
+        tgt = jnp.where(take, slot_for_det, N)
+
+        def scat(arr, vals):
+            return arr.at[tgt].set(vals, mode="drop")
+        feat = feat._replace(
+            uv_ref=scat(feat.uv_ref, duv),
+            kf_idx=scat(feat.kf_idx, jnp.full_like(det_rank, kf_slot)),
+            mu=scat(feat.mu, mu0),
+            var=scat(feat.var, var0),
+            dropouts=scat(feat.dropouts, jnp.zeros_like(det_rank)),
+            valid=scat(feat.valid, jnp.ones_like(take)),
+            frame_id=scat(feat.frame_id,
+                          jnp.full_like(det_rank, frame_id)),
+        )
+        n_detected = jnp.sum(take.astype(jnp.int32))
+        # New features appear at their own pixel with their init idepth.
+        vtx_uv = scat(vtx_uv, duv)
+        vtx_x = scat(vtx_x, mu0)
+        # (vtx_w rows for new slots are stale; the regularizer re-estimates
+        # them within a few sweeps.)
+        uv_cur, z_cur, inb = ep_ops.project_features(
+            feat, kf_q, kf_t, cur_q, cur_t, cam)
+        vtx_uv = jnp.where(feat.valid[:, None], uv_cur, vtx_uv)
+
+    # --- graph eligibility ---------------------------------------------
+    # Height gate (reference min_height/max_height): world-frame height of
+    # the feature's 3D point. RDF world: +y is down, "height" = -y.
+    X_cur_cam = cam.backproject(uv_cur, jnp.maximum(z_cur, 1e-6))
+    X_w = quat_rotate(cur_q[None, :], X_cur_cam) + cur_t[None, :]
+    height = -X_w[..., 1]
+    height_ok = (height >= reg.min_height) & (height <= reg.max_height)
+    in_graph = (feat.valid & inb & height_ok
+                & (feat.var <= reg.idepth_var_max))
+
+    new_state = state._replace(
+        feat=feat, vtx_uv=vtx_uv, vtx_x=vtx_x, vtx_z=z_cur,
+        vtx_in_graph=in_graph,
+        kf_pyrs=kf_pyrs, kf_q=kf_q, kf_t=kf_t, kf_valid=kf_valid,
+        kf_ids=kf_ids, prev_q=cur_q, prev_t=cur_t)
+    counts["num_detections"] = n_detected
+    return new_state, res.status, counts
+
+
+@partial(jax.jit, static_argnames=("cam", "params"))
+def _smooth_step(state: EngineState, img_pyr, cur_q, cur_t, *,
+                 cam: Pinhole, params: FlameParams):
+    """Fused device computation after (optional) retriangulation: NLTGV2
+    sweeps, rasterization, photometric error, coverage."""
+    reg = params.regularization
+    nl = reg.nltgv2
+    eng = params.engine
+
+    vtx_x, vtx_w, edge_q = state.vtx_x, state.vtx_w, state.edge_q
+    costs = {}
+    if reg.do_nltgv2:
+        top = reg_ops.build_topology(state.edges, state.edge_valid,
+                                     state.vtx_uv)
+        lam = reg_ops.data_weights(
+            state.feat.var, state.vtx_in_graph,
+            data_factor=nl.data_factor,
+            adaptive=nl.adaptive_data_weights,
+            rescale=nl.rescale_data)
+        gs = reg_ops.GraphState(x=vtx_x, w=vtx_w, q=edge_q,
+                                x_bar=vtx_x, w_bar=vtx_w)
+        gs = reg_ops.pd_iterate(
+            gs, top, state.vtx_z, lam, state.vtx_in_graph,
+            num_iters=eng.pd_iters_per_frame,
+            step_x=nl.step_x, step_q=nl.step_q, theta=nl.theta)
+        costs = reg_ops.nltgv2_costs(gs, top, state.vtx_z, lam,
+                                     state.vtx_in_graph)
+        vtx_x, vtx_w, edge_q = gs.x, gs.w, gs.q
+    else:
+        vtx_x = jnp.where(state.vtx_in_graph, state.vtx_z, vtx_x)
+
+    if reg.do_lowpass_filter:
+        vtx_x = reg_ops.graph_lowpass(vtx_x, state.edges, state.edge_valid,
+                                      state.vtx_in_graph)
+
+    # --- rasterize ------------------------------------------------------
+    idepth_map, idmap = raster_ops.rasterize_idepth(
+        state.vtx_uv, vtx_x, state.tris, state.tri_valid,
+        height=cam.height, width=cam.width)
+    cov = raster_ops.coverage(idepth_map)
+
+    # --- photometric error (vs most recent keyframe) -------------------
+    kf_slot = jnp.argmax(state.kf_ids)  # newest poseframe
+    u = jax.lax.broadcasted_iota(jnp.float32, (cam.height, cam.width), 1)
+    v = jax.lax.broadcasted_iota(jnp.float32, (cam.height, cam.width), 0)
+    xi = jnp.nan_to_num(idepth_map, nan=0.0)
+    ok = jnp.isfinite(idepth_map) & (xi > 1e-3)
+    X = cam.backproject(jnp.stack([u, v], -1), jnp.maximum(xi, 1e-3))
+    q_kc = quat_mul(quat_conj(state.kf_q[kf_slot]), cur_q)
+    t_kc = quat_rotate(quat_conj(state.kf_q[kf_slot]),
+                       cur_t - state.kf_t[kf_slot])
+    X_kf = quat_rotate(q_kc[None, None, :], X) + t_kc[None, None, :]
+    behind = X_kf[..., 2] <= 1e-6
+    uv_kf = cam.project(jnp.where(behind[..., None],
+                                  jnp.array([0.0, 0.0, 1.0]), X_kf))
+    kf_img = state.kf_pyrs[kf_slot, 0]
+    from flame_ros_tpu.ops.interp import bilinear
+    vals, samp_ok = bilinear(kf_img, uv_kf)
+    perr = jnp.abs(vals - img_pyr[0])
+    pmask = ok & samp_ok & ~behind
+    total_photo = jnp.sum(jnp.where(pmask, perr, 0.0))
+    n_photo = jnp.maximum(jnp.sum(pmask.astype(jnp.float32)), 1.0)
+
+    stats = {
+        "coverage": cov,
+        "total_photo_error": total_photo,
+        "avg_photo_error": total_photo / n_photo,
+        **costs,
+    }
+    new_state = state._replace(vtx_x=vtx_x, vtx_w=vtx_w, edge_q=edge_q,
+                               last_idepth=idepth_map)
+    return new_state, idepth_map, stats
+
+
+class Flame:
+    """Host orchestrator mirroring the reference flame::Flame surface."""
+
+    def __init__(self, width: int, height: int, K=None, Kinv=None,
+                 params: Optional[FlameParams] = None,
+                 cam: Optional[Pinhole] = None):
+        if cam is None:
+            if K is None:
+                raise ValueError("provide K or cam")
+            cam = Pinhole.from_K(np.asarray(K), width, height)
+        self.cam = cam
+        self.params = params or FlameParams()
+        self.state = init_state(self.params, cam)
+        self.stats_ = StatsTracker()
+        self._num_poseframes = 0
+        self._frame_count = 0
+        self._kf_slot = 0
+        self._last_status = None
+        self._last_idepth = None
+        self._idmap = None
+
+    # -- main entry ------------------------------------------------------
+    def update(self, time: float, img_id: int, pose: SE3,
+               img_gray: np.ndarray, is_poseframe: bool,
+               idepths_truth: Optional[np.ndarray] = None) -> bool:
+        """Process one posed grayscale frame. Returns False on failure
+        (reference semantics: frame skipped, engine continues)."""
+        s = self.stats_
+        s.tick("update")
+        try:
+            with s.scope("frame_creation"):
+                img_pyr = build_pyramid(
+                    jnp.asarray(img_gray, jnp.float32), NUM_LEVELS)
+            cur_q = jnp.asarray(pose.q, jnp.float32)
+            cur_t = jnp.asarray(pose.t, jnp.float32)
+
+            first = self._num_poseframes == 0
+            is_pf = bool(is_poseframe or first)
+            use_truth = idepths_truth is not None
+            truth = (jnp.asarray(idepths_truth, jnp.float32)
+                     if use_truth else
+                     jnp.zeros((self.cam.height, self.cam.width),
+                               jnp.float32))
+
+            with s.scope("update_idepths"):
+                self.state, status, counts = _track_step(
+                    self.state, img_pyr, cur_q, cur_t,
+                    jnp.int32(img_id), jnp.int32(self._kf_slot), truth,
+                    cam=self.cam, params=self.params,
+                    is_poseframe=is_pf, use_truth=use_truth)
+
+            if is_pf:
+                self._num_poseframes += 1
+                self._kf_slot = ((self._kf_slot + 1)
+                                 % self.params.engine.max_keyframes)
+                with s.scope("triangulate"):
+                    self._retriangulate()
+
+            with s.scope("sync_graph"):
+                self.state, idepth_map, dstats = _smooth_step(
+                    self.state, img_pyr, cur_q, cur_t,
+                    cam=self.cam, params=self.params)
+
+            # Telemetry (device->host sync happens here, once per frame).
+            self._last_status = np.asarray(status)
+            self._last_idepth = np.asarray(idepth_map)
+            for k, v in counts.items():
+                s.set(k, float(v))
+            for k, v in dstats.items():
+                s.set(k, float(v))
+            s.set("num_feats", float(np.asarray(
+                self.state.feat.valid).sum()))
+            s.set("num_vtx", float(np.asarray(
+                self.state.vtx_in_graph).sum()))
+            s.set("num_tris", float(np.asarray(
+                self.state.tri_valid).sum()))
+            s.set("num_edges", float(np.asarray(
+                self.state.edge_valid).sum()))
+            self._frame_count += 1
+            return True
+        except FloatingPointError:
+            return False
+        finally:
+            s.tock("update")
+
+    # -- host triangulation (poseframe rate) -----------------------------
+    def _retriangulate(self):
+        eligible = np.asarray(self.state.vtx_in_graph)
+        uv = np.asarray(self.state.vtx_uv)
+        idx = np.flatnonzero(eligible)
+        E = self.params.engine.max_edges
+        T = self.params.engine.max_triangles
+        tris_pad = np.zeros((T, 3), np.int32)
+        tv = np.zeros(T, bool)
+        edges_pad = np.zeros((E, 2), np.int32)
+        ev = np.zeros(E, bool)
+        if len(idx) >= 3:
+            tris_local = triangulate(uv[idx])
+            edges_local = edges_from_triangles(tris_local)
+            tris_g = idx[tris_local][:T]
+            edges_g = idx[edges_local][:E]
+            tris_pad[:len(tris_g)] = tris_g
+            tv[:len(tris_g)] = True
+            edges_pad[:len(edges_g)] = edges_g
+            ev[:len(edges_g)] = True
+        self.state = self.state._replace(
+            tris=jnp.asarray(tris_pad), tri_valid=jnp.asarray(tv),
+            edges=jnp.asarray(edges_pad), edge_valid=jnp.asarray(ev),
+            edge_q=jnp.zeros_like(self.state.edge_q))
+
+    # -- getters (reference flame::Flame surface) ------------------------
+    def get_inverse_depth_mesh(self):
+        """(vertices_px [V,2], idepths [V], normals [V,3], triangles
+        [M,3], tri_validity [M], edges [E,2]) — compacted to live
+        entries; triangle/edge indices refer to the vertex array rows
+        (reference getInverseDepthMesh, backprojection via Kinv happens at
+        publish time, utils.cc:184-209)."""
+        st = self.state
+        vmask = np.asarray(st.vtx_in_graph)
+        uv = np.asarray(st.vtx_uv)
+        x = np.asarray(st.vtx_x)
+        normals = np.asarray(raster_ops.vertex_normals(
+            st.vtx_uv, st.vtx_x, st.vtx_w, self.cam))
+        tv = np.asarray(st.tri_valid)
+        tris = np.asarray(st.tris)[tv]
+        ev = np.asarray(st.edge_valid)
+        edges = np.asarray(st.edges)[ev]
+        keep = np.asarray(raster_ops.mesh_display_filters(
+            st.vtx_uv, st.vtx_x, st.vtx_w, st.tris, st.tri_valid, self.cam,
+            filter_oblique=self.params.output.filter_oblique_triangles,
+            oblique_normal_thresh=self.params.output.oblique_normal_thresh,
+            oblique_idepth_diff_factor=self.params.output.oblique_idepth_diff_factor,
+            oblique_idepth_diff_abs=self.params.output.oblique_idepth_diff_abs,
+            filter_long_edges=self.params.output.filter_long_edges,
+            edge_length_thresh=self.params.output.edge_length_thresh,
+            filter_by_idepth=self.params.output.filter_triangles_by_idepth,
+            min_triangle_idepth=self.params.output.min_triangle_idepth,
+        ))[tv]
+        return uv, x, normals, tris, keep, edges
+
+    def get_inverse_depth_map(self) -> np.ndarray:
+        """Raw dense idepth map (NaN where uncovered)."""
+        return self._last_idepth
+
+    def get_filtered_inverse_depth_map(self) -> np.ndarray:
+        """Dense idepth map with display filters applied to triangles."""
+        st = self.state
+        keep = raster_ops.mesh_display_filters(
+            st.vtx_uv, st.vtx_x, st.vtx_w, st.tris, st.tri_valid, self.cam,
+            filter_oblique=self.params.output.filter_oblique_triangles,
+            filter_long_edges=self.params.output.filter_long_edges,
+            filter_by_idepth=self.params.output.filter_triangles_by_idepth,
+            edge_length_thresh=self.params.output.edge_length_thresh,
+            min_triangle_idepth=self.params.output.min_triangle_idepth,
+        )
+        m, _ = raster_ops.rasterize_idepth(
+            st.vtx_uv, st.vtx_x, st.tris, st.tri_valid & keep,
+            height=self.cam.height, width=self.cam.width)
+        return np.asarray(m)
+
+    def get_raw_idepths(self):
+        """(vertices [N,2] current-frame px, mu [N], var [N]) for live
+        feature slots (reference getRawIDepths)."""
+        v = np.asarray(self.state.feat.valid)
+        return (np.asarray(self.state.vtx_uv)[v],
+                np.asarray(self.state.feat.mu)[v],
+                np.asarray(self.state.feat.var)[v])
+
+    # -- poseframe pose-graph updates (reference §3.4) -------------------
+    def update_poseframe_poses(self, pf_ids, pf_poses: SE3):
+        """Retro-correct keyframe poses after a pose-graph update
+        (reference updatePoseFramePoses, src/flame_nodelet.cc:473-476)."""
+        kf_ids = np.asarray(self.state.kf_ids)
+        kf_q = np.asarray(self.state.kf_q).copy()
+        kf_t = np.asarray(self.state.kf_t).copy()
+        qs = np.asarray(pf_poses.q)
+        ts = np.asarray(pf_poses.t)
+        for i, pid in enumerate(np.asarray(pf_ids)):
+            hit = np.flatnonzero(kf_ids == pid)
+            if len(hit):
+                kf_q[hit[0]] = qs[i]
+                kf_t[hit[0]] = ts[i]
+        self.state = self.state._replace(kf_q=jnp.asarray(kf_q),
+                                         kf_t=jnp.asarray(kf_t))
+
+    def prune_poseframes(self, keep_ids):
+        """Drop keyframes absent from keep_ids; their features die
+        (reference prunePoseFrames)."""
+        kf_ids = np.asarray(self.state.kf_ids)
+        keep = np.isin(kf_ids, np.asarray(keep_ids))
+        kf_valid = np.asarray(self.state.kf_valid) & keep
+        dead_slots = np.flatnonzero(~keep)
+        feat_kf = np.asarray(self.state.feat.kf_idx)
+        fvalid = np.asarray(self.state.feat.valid).copy()
+        fvalid &= ~np.isin(feat_kf, dead_slots)
+        self.state = self.state._replace(
+            kf_valid=jnp.asarray(kf_valid),
+            feat=self.state.feat._replace(valid=jnp.asarray(fvalid)))
+
+    def stats(self) -> StatsTracker:
+        return self.stats_
+
+    @property
+    def num_poseframes(self) -> int:
+        return self._num_poseframes

@@ -1,0 +1,132 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from flame_ros_tpu.config import FlameParams
+from flame_ros_tpu.datasets.synthetic import make_sequence, QVGA
+from flame_ros_tpu.geometry.se3 import SE3
+from flame_ros_tpu.models.engine import Flame
+
+
+def _small_params(**overrides):
+    d = {
+        "engine": {"max_features": 512, "max_keyframes": 4,
+                   "pd_iters_per_frame": 30},
+        "input": {"poseframe_subsample_factor": 6},
+    }
+    for k, v in overrides.items():
+        d.setdefault(k, {}).update(v)
+    return FlameParams.from_dict(d)
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return make_sequence(n_frames=18, cam=QVGA, motion="strafe")
+
+
+def _run(seq, params, n=18, truth=False):
+    engine = Flame(seq.cam.width, seq.cam.height, cam=seq.cam,
+                   params=params)
+    for i in range(n):
+        pose = SE3(seq.poses.q[i], seq.poses.t[i])
+        ok = engine.update(
+            seq.timestamps[i], i, pose, seq.images[i],
+            is_poseframe=(i % 6 == 0),
+            idepths_truth=(1.0 / np.maximum(seq.depths[i], 1e-6)
+                           if truth else None))
+        assert ok
+    return engine
+
+
+def _dense_err(engine, seq, frame):
+    est = engine.get_inverse_depth_map()
+    gt = np.where(seq.depths[frame] > 0,
+                  1.0 / np.maximum(seq.depths[frame], 1e-6), 0.0)
+    m = np.isfinite(est) & (gt > 0)
+    return est, gt, m
+
+
+def test_engine_end_to_end(seq):
+    """Golden slice: full engine on synthetic, dense idepth near GT."""
+    engine = _run(seq, _small_params())
+    est, gt, m = _dense_err(engine, seq, 17)
+    assert m.mean() > 0.4, f"coverage {m.mean()}"
+    err = np.abs(est - gt)[m]
+    assert np.median(err) < 0.02, f"median dense idepth err {np.median(err)}"
+    assert np.sqrt((err**2).mean()) < 0.08, f"rmse {np.sqrt((err**2).mean())}"
+
+    # Telemetry uses the reference vocabulary.
+    rec = engine.stats().to_record(17, seq.timestamps[17])
+    assert rec["num_feats"] > 100
+    assert rec["num_tris"] > 100
+    assert rec["coverage"] > 0.4
+    assert rec["update_ms"] > 0
+    assert "num_fail_max_cost" in rec
+
+    # Mesh getter: compacted products with consistent shapes.
+    uv, x, normals, tris, keep, edges = engine.get_inverse_depth_mesh()
+    assert tris.shape[1] == 3 and edges.shape[1] == 2
+    assert keep.shape[0] == tris.shape[0]
+    assert np.abs(np.linalg.norm(normals, axis=1) - 1).max() < 1e-4
+
+    # Raw idepths (posterior mean/var) for live features.
+    vtx, mu, var = engine.get_raw_idepths()
+    assert len(vtx) == len(mu) == len(var) > 100
+
+
+def test_engine_truth_injection(seq):
+    """pass_in_truth harness: with oracle depth the dense map is near-exact
+    (isolates graph/raster from the depth filter, reference
+    src/flame_offline_tum.cc:577-595)."""
+    engine = _run(seq, _small_params(), n=13, truth=True)
+    est, gt, m = _dense_err(engine, seq, 12)
+    assert m.mean() > 0.4
+    err = np.abs(est - gt)[m]
+    assert np.median(err) < 0.01, f"median {np.median(err)}"
+
+
+def test_engine_update_returns_and_continues(seq):
+    """A frame with a wildly wrong pose must not kill the engine."""
+    params = _small_params()
+    engine = Flame(seq.cam.width, seq.cam.height, cam=seq.cam, params=params)
+    for i in range(7):
+        pose = SE3(seq.poses.q[i], seq.poses.t[i])
+        assert engine.update(seq.timestamps[i], i, pose, seq.images[i],
+                             is_poseframe=(i % 6 == 0))
+    bad_pose = SE3.exp(jnp.array([5.0, 5, 5, 1, 1, 1.0]))
+    assert engine.update(seq.timestamps[7], 7, bad_pose, seq.images[7],
+                         is_poseframe=False)
+    # Subsequent good frame still processes.
+    pose = SE3(seq.poses.q[8], seq.poses.t[8])
+    assert engine.update(seq.timestamps[8], 8, pose, seq.images[8],
+                         is_poseframe=False)
+
+
+def test_poseframe_prune_and_update(seq):
+    engine = _run(seq, _small_params(), n=13)
+    kf_ids = np.asarray(engine.state.kf_ids)
+    live = kf_ids[np.asarray(engine.state.kf_valid)]
+    assert set(live) == {0, 6, 12}
+    # Nudge a poseframe pose.
+    new_pose = SE3(seq.poses.q[6], seq.poses.t[6] + 0.01)
+    engine.update_poseframe_poses([6], SE3(new_pose.q[None], new_pose.t[None]))
+    idx = np.flatnonzero(kf_ids == 6)[0]
+    np.testing.assert_allclose(np.asarray(engine.state.kf_t)[idx],
+                               np.asarray(seq.poses.t[6]) + 0.01, atol=1e-6)
+    # Prune poseframe 0: its features die.
+    n_before = int(np.asarray(engine.state.feat.valid).sum())
+    engine.prune_poseframes([6, 12])
+    assert not np.asarray(engine.state.kf_valid)[kf_ids == 0].any()
+    feat_kf = np.asarray(engine.state.feat.kf_idx)
+    valid = np.asarray(engine.state.feat.valid)
+    slot0 = np.flatnonzero(kf_ids == 0)[0]
+    assert not (valid & (feat_kf == slot0)).any()
+    assert valid.sum() < n_before
+
+
+def test_filtered_idepth_map(seq):
+    engine = _run(seq, _small_params(), n=13)
+    filt = engine.get_filtered_inverse_depth_map()
+    raw = engine.get_inverse_depth_map()
+    # Filtering can only reduce coverage.
+    assert np.isfinite(filt).sum() <= np.isfinite(raw).sum()
