@@ -27,13 +27,14 @@ def main():
 
     n_render = 30
     seq = make_sequence(n_frames=n_render, cam=VGA, motion="strafe")
+    images_u8 = [np.clip(im, 0, 255).astype(np.uint8) for im in seq.images]
     params = FlameParams()
     engine = Flame(VGA.width, VGA.height, cam=VGA, params=params)
 
     def frame(i):
         j = i % n_render
         return (seq.timestamps[j] + (i // n_render), i,
-                SE3(seq.poses.q[j], seq.poses.t[j]), seq.images[j])
+                SE3(seq.poses.q[j], seq.poses.t[j]), images_u8[j])
 
     # Warmup: covers both poseframe and non-poseframe compiled paths.
     warmup = 14

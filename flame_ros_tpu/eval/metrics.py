@@ -84,7 +84,23 @@ class TruthStats:
     precision: float
     recall: float
     rmse: float
-    idepth_error: np.ndarray
+    idepth_error: np.ndarray = None
+
+    @staticmethod
+    def from_record(rec: dict) -> "TruthStats":
+        """Build from the engine's packed device stats (the GT block of
+        DEVICE_STATS_KEYS; avoids pulling the dense error map)."""
+        tp = int(rec["true_pos"])
+        fp = int(rec["false_pos"])
+        fn = int(rec["false_neg"])
+        total = float(rec["total_idepth_error"])
+        return TruthStats(
+            true_pos=tp, true_neg=int(rec["true_neg"]), false_pos=fp,
+            false_neg=fn, total_error=total,
+            avg_error=total / (tp + fp) if tp + fp else float("nan"),
+            precision=tp / (tp + fp) if tp + fp else float("nan"),
+            recall=tp / (tp + fn) if tp + fn else float("nan"),
+            rmse=float(rec["idepth_rmse"]))
 
 
 def truth_stats(idepths: np.ndarray, depth: np.ndarray) -> TruthStats:

@@ -1,0 +1,227 @@
+"""Online streaming driver (the reference FlameNodelet, TPU-native).
+
+Capability parity with FlameNodelet (reference src/flame_nodelet.cc):
+- producer/consumer pipeline: ingest callbacks push posed frames into a
+  bounded drop-newest queue; a dedicated processing thread consumes them
+  (reference: std::thread(&FlameNodelet::main), cc:406, queue cap 8
+  thread_safe_queue.h:70-83);
+- frame subsampling and poseframe scheduling
+  ((id - first_pf_id) % poseframe_subsample_factor == 0, cc:632-633);
+- external pose-graph updates retro-correcting keyframe poses + pruning
+  (poseframeCallback, cc:414-479) — here a direct method call instead of a
+  nav_msgs/Path subscription;
+- angular-rate gate suppressing output during fast rotation (cc:644-662);
+- health heartbeat with READY/ALARM/FAIL escalation based on time since
+  the last successful update (FLA mode, cc:481-505);
+- per-frame FlameNodeletStats-equivalent telemetry: fps, queue depth,
+  latency, process/system loads (msg/FlameNodeletStats.msg).
+
+ROS topics become registered Python callbacks (`on_mesh`, `on_idepth`,
+`on_stats`, `on_heartbeat`); transport/serialization is the caller's
+choice — in-process handoff is zero-copy like a nodelet.
+"""
+from __future__ import annotations
+
+import enum
+import threading
+import time as time_mod
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+
+from flame_ros_tpu.config import FlameParams
+from flame_ros_tpu.geometry.camera import Pinhole
+from flame_ros_tpu.geometry.se3 import SE3
+from flame_ros_tpu.models.engine import Flame
+from flame_ros_tpu.streams.queue import ThreadSafeQueue
+from flame_ros_tpu.utils.load_tracker import LoadTracker
+
+
+class Health(enum.Enum):
+    """Reference FLA ProcessStatus escalation (src/flame_nodelet.cc:107-112)."""
+    READY = 0
+    ALARM = 1
+    FAIL = 2
+
+
+@dataclass
+class InputFrame:
+    img_id: int
+    time: float
+    quat: np.ndarray      # (w, x, y, z) camera-to-world RDF
+    trans: np.ndarray
+    gray: np.ndarray
+    depth: Optional[np.ndarray] = None
+    recv_time: float = field(default_factory=time_mod.perf_counter)
+
+
+class FlameNodelet:
+    def __init__(self, cam: Pinhole, params: Optional[FlameParams] = None,
+                 queue_size: int = 8,
+                 alarm_after_s: float = 1.0, fail_after_s: float = 5.0):
+        self.cam = cam
+        self.params = params or FlameParams()
+        self.engine = Flame(cam.width, cam.height, cam=cam,
+                            params=self.params)
+        self.queue: ThreadSafeQueue[InputFrame] = ThreadSafeQueue(queue_size)
+        self.on_mesh: list[Callable] = []
+        self.on_idepth: list[Callable] = []
+        self.on_stats: list[Callable] = []
+        self.on_heartbeat: list[Callable] = []
+        self._alarm_after = alarm_after_s
+        self._fail_after = fail_after_s
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._load = LoadTracker()
+
+        self._n_proc = 0
+        self._n_published = 0
+        self._first_pf_id: Optional[int] = None
+        self._pf_subsample = self.params.input.poseframe_subsample_factor
+        self._last_pose: Optional[tuple[float, SE3]] = None
+        self._last_success_time = time_mod.perf_counter()
+        self._t_start = time_mod.perf_counter()
+        self.health = Health.READY
+
+    # -- producer side (the "subscriber callback") -----------------------
+    def push_frame(self, img_id: int, time: float, quat, trans,
+                   gray: np.ndarray,
+                   depth: Optional[np.ndarray] = None) -> bool:
+        """Thread-safe ingest; drops the frame when the queue is full
+        (reference drop-newest semantics). Returns False if dropped."""
+        return self.queue.push(InputFrame(
+            img_id=img_id, time=time,
+            quat=np.asarray(quat, np.float32),
+            trans=np.asarray(trans, np.float32),
+            gray=np.asarray(gray, np.float32), depth=depth))
+
+    def poseframe_callback(self, pf_ids, pf_poses: SE3):
+        """External pose-graph update (reference poseframeCallback): infer
+        the poseframe id pattern from the first message, retro-correct
+        keyframe poses, prune absent poseframes."""
+        pf_ids = list(int(i) for i in np.asarray(pf_ids).ravel())
+        if self._first_pf_id is None and pf_ids:
+            self._first_pf_id = pf_ids[0]
+            if len(pf_ids) > 1:
+                self._pf_subsample = pf_ids[1] - pf_ids[0]
+        self.engine.update_poseframe_poses(pf_ids, pf_poses)
+        self.engine.prune_poseframes(pf_ids)
+
+    # -- lifecycle -------------------------------------------------------
+    def start(self):
+        self._thread = threading.Thread(target=self._main, daemon=True)
+        self._thread.start()
+
+    def stop(self, timeout: float = 10.0):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout)
+
+    def run_until_idle(self, idle_timeout: float = 0.25):
+        """Synchronous drain (for tests/batch use): process queued frames
+        in the caller's thread until the queue stays empty."""
+        while True:
+            frame = self.queue.pop(timeout=idle_timeout)
+            if frame is None:
+                return
+            self._process(frame)
+
+    # -- consumer side ---------------------------------------------------
+    def _main(self):
+        while not self._stop.is_set():
+            frame = self.queue.pop(timeout=0.1)
+            now = time_mod.perf_counter()
+            starved = now - self._last_success_time
+            new_health = (Health.FAIL if starved > self._fail_after else
+                          Health.ALARM if starved > self._alarm_after else
+                          Health.READY)
+            if new_health != self.health:
+                self.health = new_health
+                for cb in self.on_heartbeat:
+                    cb(self.health)
+            if frame is None:
+                continue
+            self._process(frame)
+
+    def _angular_rate(self, frame: InputFrame, pose: SE3) -> float:
+        if self._last_pose is None:
+            return 0.0
+        t_prev, prev = self._last_pose
+        dt = max(frame.time - t_prev, 1e-6)
+        rel = prev.inverse() @ pose
+        ang = float(np.linalg.norm(np.asarray(rel.log())[3:]))
+        return np.degrees(ang) / dt
+
+    def _process(self, frame: InputFrame):
+        p = self.params
+        if frame.img_id % p.input.subsample_factor:
+            return
+        if self._first_pf_id is None:
+            self._first_pf_id = frame.img_id
+        is_pf = ((frame.img_id - self._first_pf_id)
+                 % max(self._pf_subsample, 1)) == 0
+        pose = SE3.from_quat_trans(frame.quat, frame.trans)
+        ang_rate = self._angular_rate(frame, pose)
+        self._last_pose = (frame.time, pose)
+
+        t0 = time_mod.perf_counter()
+        ok = self.engine.update(frame.time, frame.img_id, pose, frame.gray,
+                                is_pf)
+        if not ok:
+            return
+        self._n_proc += 1
+        self._last_success_time = time_mod.perf_counter()
+
+        # Angular-rate publish gate (cc:644-662).
+        gated = (p.output.max_angular_rate > 0
+                 and ang_rate > p.output.max_angular_rate)
+        if not gated:
+            self._n_published += 1
+            if self.on_mesh and p.output.mesh:
+                mesh = self.engine.get_inverse_depth_mesh()
+                for cb in self.on_mesh:
+                    cb(frame.img_id, frame.time, mesh)
+            if self.on_idepth and (p.output.idepthmap or p.output.depthmap):
+                m = self.engine.get_inverse_depth_map()
+                for cb in self.on_idepth:
+                    cb(frame.img_id, frame.time, m)
+
+        if self.on_stats and p.output.stats:
+            st = self.engine.stats_
+            rec = self.engine.flush_stats()
+            elapsed = time_mod.perf_counter() - self._t_start
+            rec.update({
+                "img_id": frame.img_id,
+                "timestamp": frame.time,
+                "queue_size": len(self.queue),
+                "num_dropped": self.queue.num_dropped,
+                "fps": self._n_proc / max(elapsed, 1e-6),
+                "process_frame_ms":
+                    (time_mod.perf_counter() - t0) * 1e3,
+                "latency_ms":
+                    (time_mod.perf_counter() - frame.recv_time) * 1e3,
+                "angular_rate_deg_s": ang_rate,
+                "publish_gated": bool(gated),
+                "update_ms": st.timings("update"),
+            })
+            if self._n_proc % p.output.load_integration_factor == 0:
+                snap = self._load.get()
+                rec.update({
+                    "pid_load_cpu": snap.pid_load.cpu,
+                    "pid_load_mem": snap.pid_load.mem,
+                    "sys_load_cpu": snap.sys_load.cpu,
+                    "sys_load_mem": snap.sys_load.mem,
+                    "max_load_cpu": snap.max_load.cpu,
+                    "max_load_mem": snap.max_load.mem,
+                })
+            for cb in self.on_stats:
+                cb(rec)
+
+
+def main(argv=None):
+    """Minimal live server: reads framed numpy messages from stdin (or a
+    socket in future rounds) — placeholder CLI for the streaming mode."""
+    raise SystemExit(
+        "flame-serve: use FlameNodelet programmatically; network transport "
+        "lands in a future revision")

@@ -28,7 +28,7 @@ from typing import Iterable, Optional
 import numpy as np
 
 from flame_ros_tpu.config import FlameParams
-from flame_ros_tpu.eval.metrics import StatsFileWriter, truth_stats
+from flame_ros_tpu.eval.metrics import StatsFileWriter, TruthStats
 from flame_ros_tpu.geometry.se3 import SE3
 from flame_ros_tpu.models.engine import Flame
 from flame_ros_tpu.utils.load_tracker import LoadTracker
@@ -82,7 +82,8 @@ def run_offline(frames: Iterable, cam, params: FlameParams,
                              0.0).astype(np.float32)
         engine.stats_.tick("sense")
         ok = engine.update(frame.time, frame.img_id, pose, frame.gray,
-                           is_pf, idepths_truth=truth)
+                           is_pf, idepths_truth=truth,
+                           gt_depth=frame.depth if has_gt else None)
         engine.stats_.tock("sense")
         if not ok:
             res.frames_failed += 1
@@ -90,9 +91,9 @@ def run_offline(frames: Iterable, cam, params: FlameParams,
         n_proc += 1
 
         st = engine.stats_
+        rec = engine.flush_stats()  # one small D2H; GT block included
         if has_gt:
-            est = engine.get_inverse_depth_map()
-            ts = truth_stats(est, frame.depth)
+            ts = TruthStats.from_record(rec)
             rmses.append(ts.rmse)
             if np.isfinite(ts.precision):
                 precs.append(ts.precision)
@@ -101,9 +102,8 @@ def run_offline(frames: Iterable, cam, params: FlameParams,
             if writer:
                 writer.append(
                     n_proc - 1, frame.time, st.timings("sense"),
-                    int(st.stats("num_vtx")), int(st.stats("num_tris")),
-                    ts, st.stats("total_photo_error"),
-                    st.stats("avg_photo_error"))
+                    int(rec["num_vtx"]), int(rec["num_tris"]),
+                    ts, rec["total_photo_error"], rec["avg_photo_error"])
 
         elapsed = time_mod.perf_counter() - t_start
         st.set("fps", n_proc / max(elapsed, 1e-6))

@@ -44,6 +44,11 @@ from flame_ros_tpu.utils.stats_tracker import StatsTracker
 NUM_LEVELS = 3
 
 
+@partial(jax.jit, static_argnames=("cam",))
+def _ZERO_IMG(cam: Pinhole):
+    return jnp.zeros((cam.height, cam.width), jnp.float32)
+
+
 class EngineState(NamedTuple):
     """Complete device-resident engine state (a pytree)."""
     # Feature filter lanes [N].
@@ -118,6 +123,25 @@ def _masked_median(vals, mask, fallback):
     n = jnp.sum(mask.astype(jnp.int32))
     med = s[jnp.clip(n // 2, 0, vals.shape[0] - 1)]
     return jnp.where(n > 0, med, fallback)
+
+
+@partial(jax.jit, static_argnames=("cam", "params", "has_gt"))
+def _fused_frame_step(state: EngineState, img_raw, cur_q, cur_t, frame_id,
+                      gt_depth, *, cam: Pinhole, params: FlameParams,
+                      has_gt: bool):
+    """Whole non-poseframe frame in ONE dispatch: pyramid build + track +
+    smooth. Over a tunneled PJRT link every dispatch costs milliseconds, so
+    the steady-state path is a single fused computation; poseframes use
+    the split track/smooth pair around the host triangulation."""
+    img_pyr = build_pyramid(img_raw.astype(jnp.float32), NUM_LEVELS)
+    state, status, counts_vec = _track_step.__wrapped__(
+        state, img_pyr, cur_q, cur_t, frame_id, jnp.int32(0),
+        _ZERO_IMG(cam), cam=cam, params=params,
+        is_poseframe=False, use_truth=False)
+    state, idepth_map, stats_vec = _smooth_step.__wrapped__(
+        state, img_pyr, cur_q, cur_t, counts_vec, gt_depth,
+        cam=cam, params=params, has_gt=has_gt)
+    return state, status, idepth_map, stats_vec
 
 
 @partial(jax.jit, static_argnames=("cam", "params", "is_poseframe",
@@ -289,15 +313,45 @@ def _track_step(state: EngineState, img_pyr, cur_q, cur_t, frame_id,
         vtx_in_graph=in_graph,
         kf_pyrs=kf_pyrs, kf_q=kf_q, kf_t=kf_t, kf_valid=kf_valid,
         kf_ids=kf_ids, prev_q=cur_q, prev_t=cur_t)
-    counts["num_detections"] = n_detected
-    return new_state, res.status, counts
+    # Pack counters into one small device vector (COUNT_KEYS order) so the
+    # host never syncs on individual scalars.
+    counts_vec = jnp.stack([
+        counts["num_idepth_updates"].astype(jnp.float32),
+        counts["num_fail_ref_patch_grad"].astype(jnp.float32),
+        counts["num_fail_ambiguous_match"].astype(jnp.float32),
+        counts["num_fail_max_cost"].astype(jnp.float32),
+        counts["num_fail_max_dropouts"].astype(jnp.float32),
+        counts["num_fail_max_var"].astype(jnp.float32),
+        n_detected.astype(jnp.float32),
+    ])
+    return new_state, res.status, counts_vec
 
 
-@partial(jax.jit, static_argnames=("cam", "params"))
-def _smooth_step(state: EngineState, img_pyr, cur_q, cur_t, *,
-                 cam: Pinhole, params: FlameParams):
+# Fixed layout of the per-frame device stats vector. ONE small D2H pull
+# recovers all frame telemetry — individual scalar pulls cost ~30 ms each
+# over a tunneled PJRT link, and a dense-map pull costs seconds.
+DEVICE_STATS_KEYS = (
+    "num_feats", "num_vtx", "num_tris", "num_edges", "coverage",
+    "num_idepth_updates", "num_fail_ref_patch_grad",
+    "num_fail_ambiguous_match", "num_fail_max_cost",
+    "num_fail_max_dropouts", "num_fail_max_var", "num_detections",
+    "nltgv2_total_smoothness_cost", "nltgv2_avg_smoothness_cost",
+    "nltgv2_total_data_cost", "nltgv2_avg_data_cost",
+    "total_photo_error", "avg_photo_error",
+    # GT-evaluation block (-1 when no ground truth this frame):
+    "true_pos", "true_neg", "false_pos", "false_neg",
+    "total_idepth_error", "idepth_rmse",
+)
+
+
+@partial(jax.jit, static_argnames=("cam", "params", "has_gt"))
+def _smooth_step(state: EngineState, img_pyr, cur_q, cur_t, track_counts,
+                 gt_depth, *, cam: Pinhole, params: FlameParams,
+                 has_gt: bool = False):
     """Fused device computation after (optional) retriangulation: NLTGV2
-    sweeps, rasterization, photometric error, coverage."""
+    sweeps, rasterization, photometric error, coverage, and (optionally)
+    the ground-truth confusion matrix — all telemetry packed into one
+    DEVICE_STATS_KEYS vector so the host syncs at most once per frame."""
     reg = params.regularization
     nl = reg.nltgv2
     eng = params.engine
@@ -356,15 +410,39 @@ def _smooth_step(state: EngineState, img_pyr, cur_q, cur_t, *,
     total_photo = jnp.sum(jnp.where(pmask, perr, 0.0))
     n_photo = jnp.maximum(jnp.sum(pmask.astype(jnp.float32)), 1.0)
 
-    stats = {
-        "coverage": cov,
-        "total_photo_error": total_photo,
-        "avg_photo_error": total_photo / n_photo,
-        **costs,
-    }
+    zero = jnp.float32(0.0)
+    if has_gt:
+        from flame_ros_tpu.eval.metrics import (depth_confusion_matrix,
+                                                idepth_rmse)
+        cm = depth_confusion_matrix.__wrapped__(idepth_map, gt_depth)
+        gt_block = [cm["true_pos"].astype(jnp.float32),
+                    cm["true_neg"].astype(jnp.float32),
+                    cm["false_pos"].astype(jnp.float32),
+                    cm["false_neg"].astype(jnp.float32),
+                    cm["total_error"],
+                    idepth_rmse.__wrapped__(idepth_map, gt_depth)]
+    else:
+        gt_block = [jnp.float32(-1.0)] * 6
+
+    stats_vec = jnp.stack([
+        jnp.sum(state.feat.valid.astype(jnp.float32)),
+        jnp.sum(state.vtx_in_graph.astype(jnp.float32)),
+        jnp.sum(state.tri_valid.astype(jnp.float32)),
+        jnp.sum(state.edge_valid.astype(jnp.float32)),
+        cov,
+        track_counts[0], track_counts[1], track_counts[2],
+        track_counts[3], track_counts[4], track_counts[5], track_counts[6],
+        costs.get("nltgv2_total_smoothness_cost", zero),
+        costs.get("nltgv2_avg_smoothness_cost", zero),
+        costs.get("nltgv2_total_data_cost", zero),
+        costs.get("nltgv2_avg_data_cost", zero),
+        total_photo,
+        total_photo / n_photo,
+        *gt_block,
+    ])
     new_state = state._replace(vtx_x=vtx_x, vtx_w=vtx_w, edge_q=edge_q,
                                last_idepth=idepth_map)
-    return new_state, idepth_map, stats
+    return new_state, idepth_map, stats_vec
 
 
 class Flame:
@@ -384,67 +462,82 @@ class Flame:
         self._num_poseframes = 0
         self._frame_count = 0
         self._kf_slot = 0
-        self._last_status = None
-        self._last_idepth = None
-        self._idmap = None
+        # Device handles of the most recent frame's products — pulled to
+        # host lazily (D2H over a tunneled link is the bottleneck, not
+        # compute; see DEVICE_STATS_KEYS).
+        self._dev_status = None
+        self._dev_stats = None
+        self._host_status = None
+        self._host_idepth = None
+        self._host_idepth_frame = -1
 
     # -- main entry ------------------------------------------------------
     def update(self, time: float, img_id: int, pose: SE3,
                img_gray: np.ndarray, is_poseframe: bool,
-               idepths_truth: Optional[np.ndarray] = None) -> bool:
+               idepths_truth: Optional[np.ndarray] = None,
+               gt_depth: Optional[np.ndarray] = None) -> bool:
         """Process one posed grayscale frame. Returns False on failure
-        (reference semantics: frame skipped, engine continues)."""
+        (reference semantics: frame skipped, engine continues).
+
+        All device work is dispatched asynchronously; nothing syncs to the
+        host here except the poseframe-rate triangulation pull. Telemetry
+        is materialized by `flush_stats()`. Passing `gt_depth` folds the
+        GT confusion matrix into the device stats vector.
+        """
         s = self.stats_
         s.tick("update")
         try:
             with s.scope("frame_creation"):
-                img_pyr = build_pyramid(
-                    jnp.asarray(img_gray, jnp.float32), NUM_LEVELS)
+                # Async H2D; uint8 inputs transfer 4x cheaper and convert
+                # on device.
+                img_dev = jax.device_put(img_gray)
+                img_pyr = None
+                if self._num_poseframes == 0 or is_poseframe or \
+                        idepths_truth is not None:
+                    img_pyr = build_pyramid(
+                        img_dev.astype(jnp.float32), NUM_LEVELS)
             cur_q = jnp.asarray(pose.q, jnp.float32)
             cur_t = jnp.asarray(pose.t, jnp.float32)
 
             first = self._num_poseframes == 0
             is_pf = bool(is_poseframe or first)
             use_truth = idepths_truth is not None
-            truth = (jnp.asarray(idepths_truth, jnp.float32)
-                     if use_truth else
-                     jnp.zeros((self.cam.height, self.cam.width),
-                               jnp.float32))
+            has_gt = gt_depth is not None
+            gt = (jnp.asarray(gt_depth, jnp.float32) if has_gt
+                  else _ZERO_IMG(self.cam))
 
-            with s.scope("update_idepths"):
-                self.state, status, counts = _track_step(
-                    self.state, img_pyr, cur_q, cur_t,
-                    jnp.int32(img_id), jnp.int32(self._kf_slot), truth,
-                    cam=self.cam, params=self.params,
-                    is_poseframe=is_pf, use_truth=use_truth)
+            if not is_pf and not use_truth:
+                # Steady-state: everything in one dispatch.
+                self.state, status, idepth_map, stats_vec = \
+                    _fused_frame_step(
+                        self.state, img_dev, cur_q, cur_t,
+                        jnp.int32(img_id), gt,
+                        cam=self.cam, params=self.params, has_gt=has_gt)
+            else:
+                truth = (jnp.asarray(idepths_truth, jnp.float32)
+                         if use_truth else _ZERO_IMG(self.cam))
+                with s.scope("update_idepths"):
+                    self.state, status, counts_vec = _track_step(
+                        self.state, img_pyr, cur_q, cur_t,
+                        jnp.int32(img_id), jnp.int32(self._kf_slot), truth,
+                        cam=self.cam, params=self.params,
+                        is_poseframe=is_pf, use_truth=use_truth)
 
-            if is_pf:
-                self._num_poseframes += 1
-                self._kf_slot = ((self._kf_slot + 1)
-                                 % self.params.engine.max_keyframes)
-                with s.scope("triangulate"):
-                    self._retriangulate()
+                if is_pf:
+                    self._num_poseframes += 1
+                    self._kf_slot = ((self._kf_slot + 1)
+                                     % self.params.engine.max_keyframes)
+                    with s.scope("triangulate"):
+                        self._retriangulate()
 
-            with s.scope("sync_graph"):
-                self.state, idepth_map, dstats = _smooth_step(
-                    self.state, img_pyr, cur_q, cur_t,
-                    cam=self.cam, params=self.params)
+                with s.scope("sync_graph"):
+                    self.state, idepth_map, stats_vec = _smooth_step(
+                        self.state, img_pyr, cur_q, cur_t, counts_vec, gt,
+                        cam=self.cam, params=self.params, has_gt=has_gt)
 
-            # Telemetry (device->host sync happens here, once per frame).
-            self._last_status = np.asarray(status)
-            self._last_idepth = np.asarray(idepth_map)
-            for k, v in counts.items():
-                s.set(k, float(v))
-            for k, v in dstats.items():
-                s.set(k, float(v))
-            s.set("num_feats", float(np.asarray(
-                self.state.feat.valid).sum()))
-            s.set("num_vtx", float(np.asarray(
-                self.state.vtx_in_graph).sum()))
-            s.set("num_tris", float(np.asarray(
-                self.state.tri_valid).sum()))
-            s.set("num_edges", float(np.asarray(
-                self.state.edge_valid).sum()))
+            self._dev_status = status
+            self._dev_stats = stats_vec
+            self._host_status = None
             self._frame_count += 1
             return True
         except FloatingPointError:
@@ -452,11 +545,28 @@ class Flame:
         finally:
             s.tock("update")
 
+    def flush_stats(self) -> dict:
+        """Pull the packed per-frame stats vector (ONE small transfer) and
+        fill the StatsTracker. Returns {key: value}."""
+        s = self.stats_
+        if self._dev_stats is None:
+            return {}
+        vals = np.asarray(self._dev_stats)
+        rec = dict(zip(DEVICE_STATS_KEYS, (float(v) for v in vals)))
+        for k, v in rec.items():
+            s.set(k, v)
+        return rec
+
     # -- host triangulation (poseframe rate) -----------------------------
     def _retriangulate(self):
-        eligible = np.asarray(self.state.vtx_in_graph)
-        uv = np.asarray(self.state.vtx_uv)
-        idx = np.flatnonzero(eligible)
+        # Single packed D2H (uv + eligibility) — transfer latency over a
+        # tunneled link dominates, so one pull beats two.
+        N = self.params.engine.max_features
+        buf = np.asarray(jnp.concatenate(
+            [self.state.vtx_uv.reshape(-1),
+             self.state.vtx_in_graph.astype(jnp.float32)]))
+        uv = buf[:2 * N].reshape(N, 2)
+        idx = np.flatnonzero(buf[2 * N:] > 0.5)
         E = self.params.engine.max_edges
         T = self.params.engine.max_triangles
         tris_pad = np.zeros((T, 3), np.int32)
@@ -508,8 +618,20 @@ class Flame:
         return uv, x, normals, tris, keep, edges
 
     def get_inverse_depth_map(self) -> np.ndarray:
-        """Raw dense idepth map (NaN where uncovered)."""
-        return self._last_idepth
+        """Raw dense idepth map (NaN where uncovered). Pulled from device
+        on demand and cached per frame."""
+        if self._host_idepth_frame != self._frame_count:
+            self._host_idepth = np.asarray(self.state.last_idepth)
+            self._host_idepth_frame = self._frame_count
+        return self._host_idepth
+
+    @property
+    def last_status(self) -> Optional[np.ndarray]:
+        """Per-feature epipolar status codes of the last frame (pulled on
+        demand)."""
+        if self._host_status is None and self._dev_status is not None:
+            self._host_status = np.asarray(self._dev_status)
+        return self._host_status
 
     def get_filtered_inverse_depth_map(self) -> np.ndarray:
         """Dense idepth map with display filters applied to triangles."""

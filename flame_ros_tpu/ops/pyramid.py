@@ -92,12 +92,17 @@ def bilinear_pyramid_batched(pyrs_flat, row_idx, shape, uv, level,
                                  (Hl - 2).astype(jnp.int32)), 0)
     au = u - u0
     av = v - v0
-    idx = level * (H * W) + v0 * W + u0
-    rows = pyrs_flat[row_idx]          # [N, L*H*W]
-    N = rows.shape[0]
+    # Single flat gather: fold the pyramid id into the index instead of
+    # materializing per-feature pyramid rows (a [N, L*H*W] gather would be
+    # gigabytes).
+    plane = L * H * W
+    shape_suffix = (1,) * (uv.ndim - 2)
+    base = (row_idx.reshape(row_idx.shape + shape_suffix) * plane)
+    idx = base + level * (H * W) + v0 * W + u0
+    flat = pyrs_flat.reshape(-1)
 
     def take(i):
-        return jnp.take_along_axis(rows, i.reshape(N, -1), axis=-1).reshape(i.shape)
+        return jnp.take(flat, i, mode="clip")
 
     i00, i01 = take(idx), take(idx + 1)
     i10, i11 = take(idx + W), take(idx + W + 1)

@@ -8,11 +8,11 @@ each triangle (a 3D plane has affine inverse depth in pixel coordinates —
 the property NLTGV2 regularizes toward), so the dense map is an
 id-buffer rasterization followed by one fused affine evaluation.
 
-TPU design: triangles are scattered as fixed-size bounding patches into a
-triangle-id buffer with `scatter-max` (Delaunay faces don't overlap, so
-any tie-break works), chunked so memory stays bounded; the dense map is a
-gather + affine evaluate. Invalid pixels are NaN, matching the reference's
-convention (getDepthConfusionMatrix keys on isnan, utils.cc:326-368).
+TPU design: inside-tests are MXU matmuls of pixel tiles against per-edge
+affine coefficient blocks with y-interval block culling (see
+rasterize_tri_ids); the dense map is then a gather + one fused affine
+evaluate. Invalid pixels are NaN, matching the reference's convention
+(getDepthConfusionMatrix keys on isnan, utils.cc:326-368).
 """
 from __future__ import annotations
 
@@ -45,73 +45,90 @@ def triangle_planes(vtx_pos, vtx_x, tris, tri_valid):
     return jnp.stack([g0, g1, g2], -1), tri_valid & ok
 
 
-@partial(jax.jit, static_argnames=("height", "width", "patch", "chunk"))
+@partial(jax.jit, static_argnames=("height", "width", "row_tile",
+                                   "tri_block"))
 def rasterize_tri_ids(vtx_pos, tris, tri_valid, *, height: int, width: int,
-                      patch: int = 64, chunk: int = 512):
+                      row_tile: int = 8, tri_block: int = 256):
     """Triangle-id buffer [H, W] (int32, -1 where uncovered).
 
-    Each triangle rasterizes a `patch`x`patch` block anchored at its bbox
-    min via scatter-max; triangles larger than `patch` render partially
-    (display filters drop oversized triangles anyway; the Pallas raster
-    path handles them exactly).
+    MXU formulation: the three CCW edge functions of a triangle are affine
+    in (x, y, 1), so inside-tests for a tile of pixels against a block of
+    triangles are one [px, 3] @ [3, 3*B] matmul followed by a fused
+    compare/reduce — no scatter (TPU scatters serialize; this was 150 ms
+    as a scatter-max at VGA, ~2 ms as matmuls). Per-(tile, block) work is
+    skipped entirely when the block's y-interval misses the tile — the
+    host triangulator emits Morton-ordered vertex ids, so triangle blocks
+    are spatially tight and most blocks skip.
     """
     T = tris.shape[0]
-    chunk = min(chunk, T)
-    if T % chunk:
-        chunk = T  # non-divisible (odd padded sizes): single chunk
+    B = min(tri_block, T)
+    if T % B:
+        B = T
+    n_blocks = T // B
     a = vtx_pos[tris[:, 0]]
     b = vtx_pos[tris[:, 1]]
     c = vtx_pos[tris[:, 2]]
-    x0 = jnp.floor(jnp.minimum(jnp.minimum(a[:, 0], b[:, 0]), c[:, 0]))
-    y0 = jnp.floor(jnp.minimum(jnp.minimum(a[:, 1], b[:, 1]), c[:, 1]))
-    x0 = jnp.clip(x0, 0, width - 1).astype(jnp.int32)
-    y0 = jnp.clip(y0, 0, height - 1).astype(jnp.int32)
 
-    iy = jax.lax.broadcasted_iota(jnp.int32, (patch, patch), 0)
-    ix = jax.lax.broadcasted_iota(jnp.int32, (patch, patch), 1)
+    def edge_coeffs(p0, p1):
+        # E(x, y) = -(p1y-p0y) x + (p1x-p0x) y + (p1y-p0y)p0x - (p1x-p0x)p0y
+        dy = p1[:, 1] - p0[:, 1]
+        dx = p1[:, 0] - p0[:, 0]
+        return jnp.stack([-dy, dx, dy * p0[:, 0] - dx * p0[:, 1]], -1)
 
-    def edge(p0, p1, px, py):
-        return ((p1[:, 0] - p0[:, 0])[:, None, None]
-                * (py - p0[:, 1][:, None, None])
-                - (p1[:, 1] - p0[:, 1])[:, None, None]
-                * (px - p0[:, 0][:, None, None]))
+    # C: [3coeffs, T, 3edges] -> [3, T*3]
+    C = jnp.stack([edge_coeffs(a, b), edge_coeffs(b, c),
+                   edge_coeffs(c, a)], -1)            # [T, 3coeffs, 3edges]
+    C = C.transpose(1, 0, 2).reshape(3, T * 3)
+    # Per-block y-extent for tile culling (invalid tris excluded).
+    ys = jnp.stack([a[:, 1], b[:, 1], c[:, 1]], -1)
+    y_min = jnp.where(tri_valid, ys.min(-1), jnp.inf).reshape(n_blocks, B)
+    y_max = jnp.where(tri_valid, ys.max(-1), -jnp.inf).reshape(n_blocks, B)
+    blk_ymin = y_min.min(-1)
+    blk_ymax = y_max.max(-1)
 
-    def chunk_body(idmap, start):
-        sl = lambda arr: jax.lax.dynamic_slice_in_dim(arr, start, chunk, 0)
-        ca, cb, cc = sl(a), sl(b), sl(c)
-        cx0, cy0 = sl(x0), sl(y0)
-        cvalid = sl(tri_valid)
-        ids = start + jax.lax.broadcasted_iota(jnp.int32, (chunk,), 0)
-        px = (cx0[:, None, None] + ix[None]).astype(jnp.float32)
-        py = (cy0[:, None, None] + iy[None]).astype(jnp.float32)
-        # CCW triangles: inside = all edge functions >= 0 (eps for shared
-        # edges so no pixel falls through the crack between faces).
-        eps = -1e-3
-        inside = ((edge(ca, cb, px, py) >= eps)
-                  & (edge(cb, cc, px, py) >= eps)
-                  & (edge(cc, ca, px, py) >= eps)
-                  & cvalid[:, None, None])
-        yy = cy0[:, None, None] + iy[None]
-        xx = cx0[:, None, None] + ix[None]
-        inb = (yy < height) & (xx < width)
-        val = jnp.where(inside & inb, ids[:, None, None], -1)
-        return idmap.at[jnp.clip(yy, 0, height - 1).ravel(),
-                        jnp.clip(xx, 0, width - 1).ravel()].max(val.ravel()), None
+    BIG = jnp.int32(T + 1)
+    n_tiles = height // row_tile
+    px_per_tile = row_tile * width
+    ux = jax.lax.broadcasted_iota(jnp.float32, (row_tile, width), 1)
+    uy0 = jax.lax.broadcasted_iota(jnp.float32, (row_tile, width), 0)
+    ones = jnp.ones((row_tile, width), jnp.float32)
+    tvalid_b = tri_valid.reshape(n_blocks, B)
+    eps = jnp.float32(-1e-3)
 
-    idmap = jnp.full((height, width), -1, jnp.int32)
-    starts = jnp.arange(0, T, chunk, dtype=jnp.int32)
-    idmap, _ = jax.lax.scan(chunk_body, idmap, starts)
-    return idmap
+    def tile_fn(tile_idx):
+        y_lo = (tile_idx * row_tile).astype(jnp.float32)
+        P = jnp.stack([ux, uy0 + y_lo, ones], -1).reshape(px_per_tile, 3)
+
+        def blk_body(k, best):
+            def do(best):
+                Cb = jax.lax.dynamic_slice_in_dim(C, k * (B * 3), B * 3, 1)
+                E = jnp.dot(P, Cb, preferred_element_type=jnp.float32)
+                E = E.reshape(px_per_tile, B, 3)
+                inside = (E >= eps).all(-1) & tvalid_b[k][None, :]
+                ids = k * B + jax.lax.broadcasted_iota(
+                    jnp.int32, (px_per_tile, B), 1)
+                cand = jnp.where(inside, ids, BIG).min(-1)
+                return jnp.minimum(best, cand)
+
+            overlap = (blk_ymax[k] >= y_lo) & (blk_ymin[k] < y_lo + row_tile)
+            return jax.lax.cond(overlap, do, lambda x: x, best)
+
+        best = jax.lax.fori_loop(
+            0, n_blocks, blk_body,
+            jnp.full((px_per_tile,), BIG, jnp.int32))
+        return jnp.where(best < BIG, best, -1).reshape(row_tile, width)
+
+    idmap = jax.lax.map(tile_fn, jnp.arange(n_tiles, dtype=jnp.int32))
+    return idmap.reshape(height, width)
 
 
-@partial(jax.jit, static_argnames=("height", "width", "patch", "chunk"))
+@partial(jax.jit, static_argnames=("height", "width"))
 def rasterize_idepth(vtx_pos, vtx_x, tris, tri_valid, *, height: int,
-                     width: int, patch: int = 64, chunk: int = 512):
+                     width: int):
     """Dense inverse-depth map [H, W] (NaN outside the mesh) + id buffer."""
     planes, pvalid = triangle_planes(vtx_pos, vtx_x, tris, tri_valid)
     idmap = rasterize_tri_ids(vtx_pos, tris, pvalid,
-                              height=height, width=width,
-                              patch=patch, chunk=chunk)
+                              height=height, width=width)
     covered = idmap >= 0
     g = planes[jnp.clip(idmap, 0)]
     u = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)

@@ -87,14 +87,17 @@ def batched_frame_step(states: EngineState, img_pyrs, qs, ts, frame_ids,
     epipolar filtering + graph projection + NLTGV2 sweeps + rasterization.
     This is the sustained-throughput inner loop — poseframe handling
     (detection + host triangulation) happens per-stream outside."""
+    cov_idx = eng_mod.DEVICE_STATS_KEYS.index("coverage")
+
     def one(state, img_pyr, q, t, fid):
-        state, status, counts = eng_mod._track_step.__wrapped__(
-            state, img_pyr, q, t, fid, jnp.int32(0),
-            jnp.zeros((cam.height, cam.width), jnp.float32),
+        zero_img = jnp.zeros((cam.height, cam.width), jnp.float32)
+        state, status, counts_vec = eng_mod._track_step.__wrapped__(
+            state, img_pyr, q, t, fid, jnp.int32(0), zero_img,
             cam=cam, params=params, is_poseframe=False, use_truth=False)
-        state, idepth, stats = eng_mod._smooth_step.__wrapped__(
-            state, img_pyr, q, t, cam=cam, params=params)
-        return state, idepth, stats["coverage"]
+        state, idepth, stats_vec = eng_mod._smooth_step.__wrapped__(
+            state, img_pyr, q, t, counts_vec, zero_img,
+            cam=cam, params=params, has_gt=False)
+        return state, idepth, stats_vec[cov_idx]
 
     return jax.vmap(one)(states, img_pyrs, qs, ts, frame_ids)
 

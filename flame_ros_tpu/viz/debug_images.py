@@ -149,10 +149,10 @@ def render_debug_images(engine, gray: np.ndarray) -> dict:
         out["idepthmap"] = draw_idepthmap(
             gray, engine.get_inverse_depth_map(), color_scale=scale,
             text=txt, flip=d.flip_images)
-    if d.matches and engine._last_status is not None:
+    if d.matches and engine.last_status is not None:
         st = engine.state
         out["matches"] = draw_matches(
             gray, np.asarray(st.vtx_uv), np.asarray(st.vtx_uv),
-            engine._last_status, np.asarray(st.feat.valid),
+            engine.last_status, np.asarray(st.feat.valid),
             flip=d.flip_images)
     return out

@@ -1,0 +1,104 @@
+import time
+
+import numpy as np
+
+from flame_ros_tpu.config import FlameParams
+from flame_ros_tpu.datasets.synthetic import make_sequence, QVGA
+from flame_ros_tpu.frontends.nodelet import FlameNodelet, Health
+from flame_ros_tpu.geometry.se3 import SE3
+
+
+def _params(**kw):
+    d = {"engine": {"max_features": 512, "max_keyframes": 4,
+                    "pd_iters_per_frame": 10}}
+    d.update(kw)
+    return FlameParams.from_dict(d)
+
+
+def test_nodelet_stream_end_to_end():
+    seq = make_sequence(n_frames=13, cam=QVGA, motion="strafe")
+    node = FlameNodelet(seq.cam, _params())
+    meshes, stats = [], []
+    node.on_mesh.append(lambda i, t, m: meshes.append((i, m)))
+    node.on_stats.append(stats.append)
+    for i in range(13):
+        assert node.push_frame(i, seq.timestamps[i],
+                               np.asarray(seq.poses.q[i]),
+                               np.asarray(seq.poses.t[i]), seq.images[i])
+        node.run_until_idle(idle_timeout=0.01)
+    assert len(meshes) == 13
+    assert len(stats) == 13
+    assert stats[-1]["num_feats"] > 100
+    assert stats[-1]["queue_size"] == 0
+    assert stats[-1]["latency_ms"] > 0
+    # Poseframes every 6 frames from the first id.
+    assert node.engine.num_poseframes == 3
+
+
+def test_nodelet_queue_drops_under_burst():
+    seq = make_sequence(n_frames=12, cam=QVGA)
+    node = FlameNodelet(seq.cam, _params(), queue_size=4)
+    accepted = sum(
+        node.push_frame(i, seq.timestamps[i], np.asarray(seq.poses.q[i]),
+                        np.asarray(seq.poses.t[i]), seq.images[i])
+        for i in range(12))
+    assert accepted == 4
+    assert node.queue.num_dropped == 8
+    node.run_until_idle(idle_timeout=0.01)
+    assert node.engine._frame_count == 4
+
+
+def test_angular_rate_gate():
+    seq = make_sequence(n_frames=8, cam=QVGA, motion="static")
+    p = FlameParams.from_dict({
+        "engine": {"max_features": 256, "max_keyframes": 2,
+                   "pd_iters_per_frame": 2},
+        "output": {"max_angular_rate": 10.0},  # deg/s
+    })
+    node = FlameNodelet(seq.cam, p)
+    published, stats = [], []
+    node.on_mesh.append(lambda i, t, m: published.append(i))
+    node.on_stats.append(stats.append)
+    # Frame 0: fine. Frame 1: huge rotation in 1/30 s -> gated.
+    node.push_frame(0, 0.0, [1, 0, 0, 0], [0, 0, 0], seq.images[0])
+    spin = SE3.exp(np.array([0, 0, 0, 0, 1.0, 0], np.float32))  # ~57 deg
+    node.push_frame(1, 1 / 30, np.asarray(spin.q), np.asarray(spin.t),
+                    seq.images[1])
+    node.run_until_idle(idle_timeout=0.01)
+    assert published == [0]
+    assert stats[1]["publish_gated"]
+    assert stats[1]["angular_rate_deg_s"] > 10
+
+
+def test_heartbeat_escalation():
+    seq = make_sequence(n_frames=2, cam=QVGA)
+    node = FlameNodelet(seq.cam, _params(), alarm_after_s=0.05,
+                        fail_after_s=10.0)
+    beats = []
+    node.on_heartbeat.append(beats.append)
+    node.start()
+    time.sleep(0.4)  # no frames -> starvation -> ALARM
+    node.stop()
+    assert Health.ALARM in beats
+
+
+def test_poseframe_callback_infers_pattern():
+    seq = make_sequence(n_frames=13, cam=QVGA)
+    node = FlameNodelet(seq.cam, _params())
+    for i in range(13):
+        node.push_frame(i, seq.timestamps[i], np.asarray(seq.poses.q[i]),
+                        np.asarray(seq.poses.t[i]), seq.images[i])
+        node.run_until_idle(idle_timeout=0.01)
+    # Update poseframe poses externally (ids 0, 6, 12), keep all.
+    ids = [0, 6, 12]
+    poses = SE3(seq.poses.q[np.array(ids)], seq.poses.t[np.array(ids)])
+    node.poseframe_callback(ids, poses)
+    assert node._pf_subsample == 6
+    kf_valid = np.asarray(node.engine.state.kf_valid)
+    assert kf_valid.sum() == 3
+    # Prune: drop poseframe 0.
+    node.poseframe_callback([6, 12], SE3(seq.poses.q[np.array([6, 12])],
+                                         seq.poses.t[np.array([6, 12])]))
+    kf_ids = np.asarray(node.engine.state.kf_ids)
+    kf_valid = np.asarray(node.engine.state.kf_valid)
+    assert set(kf_ids[kf_valid]) == {6, 12}
