@@ -146,6 +146,7 @@ class EngineParams:
     compiled for.
     """
     max_features: int = 2048     # Feature slots (padded, validity-masked).
+    max_vertex_degree: int = 16  # Incidence-list budget per graph vertex.
     max_keyframes: int = 8       # Keyframe (poseframe) ring-buffer depth.
     num_search_samples: int = 32  # Inverse-depth samples per epipolar search.
     pd_iters_per_frame: int = 10  # NLTGV2 primal-dual sweeps per frame.

@@ -57,9 +57,23 @@ class InputFrame:
 
 
 class FlameNodelet:
+    """pose_source:
+    - "external": frames arrive with poses (reference behavior — tf
+      lookups / dataset GT).
+    - "tracking": poses are ESTIMATED online by direct image alignment
+      against the latest keyframe's smoothed dense idepth (capability
+      beyond the reference, per the BASELINE north star), with a windowed
+      pose graph over keyframes. Monocular scale is fixed by a depth map
+      on the bootstrap frame if provided, otherwise arbitrary.
+    """
+
     def __init__(self, cam: Pinhole, params: Optional[FlameParams] = None,
                  queue_size: int = 8,
-                 alarm_after_s: float = 1.0, fail_after_s: float = 5.0):
+                 alarm_after_s: float = 1.0, fail_after_s: float = 5.0,
+                 pose_source: str = "external"):
+        if pose_source not in ("external", "tracking"):
+            raise ValueError(pose_source)
+        self.pose_source = pose_source
         self.cam = cam
         self.params = params or FlameParams()
         self.engine = Flame(cam.width, cam.height, cam=cam,
@@ -84,16 +98,28 @@ class FlameNodelet:
         self._t_start = time_mod.perf_counter()
         self.health = Health.READY
 
+        # Tracking-mode state.
+        self._track_ref = None        # (pyr4, idepth, T_w_ref)
+        self._last_rel: Optional[SE3] = None  # previous T_rc (motion model)
+        self._pg_nodes: list[tuple[int, SE3]] = []   # (img_id, pose)
+        self._pg_edges: list[tuple[int, int, SE3]] = []
+        self.track_costs: list[float] = []
+
     # -- producer side (the "subscriber callback") -----------------------
-    def push_frame(self, img_id: int, time: float, quat, trans,
-                   gray: np.ndarray,
+    def push_frame(self, img_id: int, time: float, quat=None, trans=None,
+                   gray: np.ndarray = None,
                    depth: Optional[np.ndarray] = None) -> bool:
         """Thread-safe ingest; drops the frame when the queue is full
-        (reference drop-newest semantics). Returns False if dropped."""
+        (reference drop-newest semantics). Returns False if dropped.
+        quat/trans may be None in tracking mode."""
+        if self.pose_source == "external" and (quat is None or trans is None):
+            raise ValueError("external pose_source requires quat/trans")
         return self.queue.push(InputFrame(
             img_id=img_id, time=time,
-            quat=np.asarray(quat, np.float32),
-            trans=np.asarray(trans, np.float32),
+            quat=(np.asarray(quat, np.float32) if quat is not None
+                  else None),
+            trans=(np.asarray(trans, np.float32) if trans is not None
+                   else None),
             gray=np.asarray(gray, np.float32), depth=depth))
 
     def poseframe_callback(self, pf_ids, pf_poses: SE3):
@@ -153,6 +179,85 @@ class FlameNodelet:
         ang = float(np.linalg.norm(np.asarray(rel.log())[3:]))
         return np.degrees(ang) / dt
 
+    def _estimate_pose(self, frame: InputFrame) -> SE3:
+        """Tracking mode: direct alignment against the current keyframe."""
+        import jax.numpy as jnp
+
+        from flame_ros_tpu.models.tracking import track_frame
+        from flame_ros_tpu.ops.pyramid import build_pyramid
+
+        cur_pyr = build_pyramid(jnp.asarray(frame.gray, jnp.float32), 4)
+        if self._track_ref is None:
+            # Bootstrap: sensor depth if available fixes monocular scale;
+            # otherwise a flat prior (scale is arbitrary until then).
+            if frame.depth is not None and np.any(frame.depth > 0):
+                idepth = np.where(frame.depth > 0,
+                                  1.0 / np.maximum(frame.depth, 1e-6),
+                                  np.nan).astype(np.float32)
+            else:
+                idepth = np.full(frame.gray.shape,
+                                 self.params.engine.init_idepth, np.float32)
+            self._track_ref = (cur_pyr, jnp.asarray(idepth), SE3.identity())
+            self._last_rel = SE3.identity()
+            return SE3.identity()
+        ref_pyr, ref_idepth, T_w_ref = self._track_ref
+        init = self._last_rel or SE3.identity()
+        res = track_frame(ref_pyr, ref_idepth, cur_pyr, init.q, init.t,
+                          cam=self.cam, num_levels=4)
+        self.track_costs.append(float(res.final_cost))
+        T_rc = SE3(res.q, res.t)
+        self._last_rel = T_rc
+        self._pending_cur_pyr = cur_pyr
+        return T_w_ref @ T_rc.inverse()
+
+    def _refresh_track_ref(self, pose: SE3, cur_pyr=None):
+        """New tracking keyframe from the engine's smoothed dense idepth."""
+        import jax.numpy as jnp
+
+        from flame_ros_tpu.ops.pyramid import build_pyramid
+
+        idepth = self.engine.get_inverse_depth_map()
+        if idepth is None or not np.isfinite(idepth).any():
+            return
+        if cur_pyr is None:
+            return
+        self._track_ref = (cur_pyr, jnp.asarray(idepth), pose)
+        self._last_rel = SE3.identity()
+
+    def _pose_graph_update(self, img_id: int, pose: SE3):
+        """Record a keyframe node + odometry edge; periodically optimize
+        and retro-correct the engine's keyframe poses."""
+        from flame_ros_tpu.models.pose_graph import (make_graph,
+                                                     optimize_pose_graph)
+
+        if self._pg_nodes:
+            prev_id, prev_pose = self._pg_nodes[-1]
+            self._pg_edges.append(
+                (len(self._pg_nodes) - 1, len(self._pg_nodes),
+                 prev_pose.inverse() @ pose))
+        self._pg_nodes.append((img_id, pose))
+        window = self.params.engine.max_keyframes
+        if len(self._pg_nodes) >= 3 and len(self._pg_nodes) % 2 == 0:
+            import jax.numpy as jnp
+            nodes = self._pg_nodes[-window:]
+            off = len(self._pg_nodes) - len(nodes)
+            edges = [(i - off, j - off, m) for i, j, m in self._pg_edges
+                     if i >= off and j >= off]
+            if not edges:
+                return
+            poses = SE3(jnp.stack([p.q for _, p in nodes]),
+                        jnp.stack([p.t for _, p in nodes]))
+            meas = SE3(jnp.stack([m.q for _, _, m in edges]),
+                       jnp.stack([m.t for _, _, m in edges]))
+            q, t, cost = optimize_pose_graph(
+                make_graph(poses, [(i, j) for i, j, _ in edges], meas),
+                num_iters=5)
+            ids = [i for i, _ in nodes]
+            self.engine.update_poseframe_poses(ids, SE3(q, t))
+            self._pg_nodes = (self._pg_nodes[:-len(nodes)]
+                              + [(nid, SE3(q[k], t[k]))
+                                 for k, (nid, _) in enumerate(nodes)])
+
     def _process(self, frame: InputFrame):
         p = self.params
         if frame.img_id % p.input.subsample_factor:
@@ -161,7 +266,11 @@ class FlameNodelet:
             self._first_pf_id = frame.img_id
         is_pf = ((frame.img_id - self._first_pf_id)
                  % max(self._pf_subsample, 1)) == 0
-        pose = SE3.from_quat_trans(frame.quat, frame.trans)
+        self._pending_cur_pyr = None
+        if self.pose_source == "tracking":
+            pose = self._estimate_pose(frame)
+        else:
+            pose = SE3.from_quat_trans(frame.quat, frame.trans)
         ang_rate = self._angular_rate(frame, pose)
         self._last_pose = (frame.time, pose)
 
@@ -170,6 +279,9 @@ class FlameNodelet:
                                 is_pf)
         if not ok:
             return
+        if self.pose_source == "tracking" and is_pf:
+            self._refresh_track_ref(pose, self._pending_cur_pyr)
+            self._pose_graph_update(frame.img_id, pose)
         self._n_proc += 1
         self._last_success_time = time_mod.perf_counter()
 

@@ -176,11 +176,15 @@ def quat_from_matrix(R):
 
 
 def quat_exp(omega):
-    """so(3) -> unit quaternion."""
-    theta = jnp.linalg.norm(omega, axis=-1, keepdims=True)
+    """so(3) -> unit quaternion. (sqrt has an unbounded derivative at 0,
+    so the norm uses a safe epsilon under the root — see the autodiff
+    note in _so3_left_jacobian_apply.)"""
+    sq = jnp.sum(omega * omega, axis=-1, keepdims=True)
+    theta = jnp.sqrt(sq + 1e-24)
     half = 0.5 * theta
-    small = theta < 1e-6
-    k = jnp.where(small, 0.5 - theta**2 / 48.0, jnp.sin(half) / jnp.where(small, 1.0, theta))
+    small = sq < 1e-12
+    th_safe = jnp.where(small, 1.0, theta)
+    k = jnp.where(small, 0.5 - sq / 48.0, jnp.sin(0.5 * th_safe) / th_safe)
     w = jnp.cos(half)
     return jnp.concatenate([w, k * omega], axis=-1)
 
@@ -189,10 +193,12 @@ def quat_log(q):
     """Unit quaternion -> so(3)."""
     q = jnp.where(q[..., :1] < 0, -q, q)  # enforce w>=0 for principal log
     w = jnp.clip(q[..., :1], -1.0, 1.0)
-    vn = jnp.linalg.norm(q[..., 1:], axis=-1, keepdims=True)
+    sq = jnp.sum(q[..., 1:] ** 2, axis=-1, keepdims=True)
+    vn = jnp.sqrt(sq + 1e-24)
+    small = sq < 1e-12
+    vn_safe = jnp.where(small, 1.0, vn)
     theta = 2.0 * jnp.arctan2(vn, w)
-    small = vn < 1e-6
-    k = jnp.where(small, 2.0 / jnp.maximum(w, 1e-6), theta / jnp.where(small, 1.0, vn))
+    k = jnp.where(small, 2.0 / jnp.maximum(w, 1e-6), theta / vn_safe)
     return k * q[..., 1:]
 
 
@@ -207,13 +213,15 @@ def _hat(w):
 
 
 def _so3_left_jacobian_apply(omega, theta, v):
+    # NOTE: the non-small branch must be evaluated with a SAFE theta —
+    # jnp.where runs both branches, and a 0/0 in the unselected branch
+    # poisons forward-mode derivatives (the pose-graph solver autodiffs
+    # through here).
     W = _hat(omega)
-    th = jnp.maximum(theta[..., 0], 1e-8)  # [...]
-    A = (1 - jnp.cos(th)) / th**2
-    B = (th - jnp.sin(th)) / th**3
     small = theta[..., 0] < 1e-5
-    A = jnp.where(small, 0.5, A)[..., None]
-    B = jnp.where(small, 1.0 / 6.0, B)[..., None]
+    th = jnp.where(small, 1.0, theta[..., 0])
+    A = jnp.where(small, 0.5, (1 - jnp.cos(th)) / th**2)[..., None]
+    B = jnp.where(small, 1.0 / 6.0, (th - jnp.sin(th)) / th**3)[..., None]
     Wv = jnp.einsum("...ij,...j->...i", W, v)
     WWv = jnp.einsum("...ij,...j->...i", W, Wv)
     return v + A * Wv + B * WWv
@@ -221,10 +229,10 @@ def _so3_left_jacobian_apply(omega, theta, v):
 
 def _so3_left_jacobian_inv_apply(omega, theta, t):
     W = _hat(omega)
-    th = jnp.maximum(theta[..., 0], 1e-8)  # [...]
+    small = theta[..., 0] < 1e-5
+    th = jnp.where(small, 1.0, theta[..., 0])
     half = 0.5 * th
     cot_coef = (1.0 - half * jnp.cos(half) / jnp.sin(half)) / th**2
-    small = theta[..., 0] < 1e-5
     C = jnp.where(small, 1.0 / 12.0, cot_coef)[..., None]
     Wt = jnp.einsum("...ij,...j->...i", W, t)
     WWt = jnp.einsum("...ij,...j->...i", W, Wt)

@@ -62,6 +62,8 @@ class EngineState(NamedTuple):
     edge_q: jax.Array       # [E, 3] duals
     edges: jax.Array        # [E, 2] int32
     edge_valid: jax.Array   # [E] bool
+    inc_edges: jax.Array    # [N, D] int32 vertex->edge incidence
+    inc_sign: jax.Array     # [N, D] float32 (+1 tail / -1 head / 0 pad)
     tris: jax.Array         # [T, 3] int32
     tri_valid: jax.Array    # [T] bool
     # Keyframe (poseframe) ring.
@@ -103,6 +105,9 @@ def init_state(params: FlameParams, cam: Pinhole) -> EngineState:
         edge_q=jnp.zeros((E, 3), f32),
         edges=jnp.zeros((E, 2), jnp.int32),
         edge_valid=jnp.zeros((E,), bool),
+        inc_edges=jnp.zeros((N, params.engine.max_vertex_degree),
+                            jnp.int32),
+        inc_sign=jnp.zeros((N, params.engine.max_vertex_degree), f32),
         tris=jnp.zeros((T, 3), jnp.int32),
         tri_valid=jnp.zeros((T,), bool),
         kf_pyrs=jnp.zeros((K, NUM_LEVELS, H, W), f32),
@@ -360,7 +365,9 @@ def _smooth_step(state: EngineState, img_pyr, cur_q, cur_t, track_counts,
     costs = {}
     if reg.do_nltgv2:
         top = reg_ops.build_topology(state.edges, state.edge_valid,
-                                     state.vtx_uv)
+                                     state.vtx_uv,
+                                     inc_edges=state.inc_edges,
+                                     inc_sign=state.inc_sign)
         lam = reg_ops.data_weights(
             state.feat.var, state.vtx_in_graph,
             data_factor=nl.data_factor,
@@ -582,9 +589,16 @@ class Flame:
             tv[:len(tris_g)] = True
             edges_pad[:len(edges_g)] = edges_g
             ev[:len(edges_g)] = True
+        # Vertex->edge incidence lists: K^T becomes pure gathers on device
+        # (reg_ops.build_incidence drops over-degree edges so K and K^T
+        # stay adjoint-consistent).
+        inc_e, inc_s, keep = reg_ops.build_incidence(
+            edges_pad, ev, N, self.params.engine.max_vertex_degree)
+        ev &= keep
         self.state = self.state._replace(
             tris=jnp.asarray(tris_pad), tri_valid=jnp.asarray(tv),
             edges=jnp.asarray(edges_pad), edge_valid=jnp.asarray(ev),
+            inc_edges=jnp.asarray(inc_e), inc_sign=jnp.asarray(inc_s),
             edge_q=jnp.zeros_like(self.state.edge_q))
 
     # -- getters (reference flame::Flame surface) ------------------------

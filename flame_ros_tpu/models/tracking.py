@@ -1,0 +1,157 @@
+"""Direct image-alignment pose tracking (visual odometry front end).
+
+The reference assumes poses arrive from an external source (tf lookups /
+dataset ground truth — SURVEY §2.10); the BASELINE north star asks for an
+online mode with *estimated* poses. This module supplies it: coarse-to-fine
+Gauss-Newton photometric alignment of the current frame against a
+reference keyframe with (mesh-rasterized) dense inverse depth — the
+LSD-SLAM-style direct tracking formulation, built as fixed-shape JAX so
+the whole pyramid solve jits into one device computation.
+
+    min_xi  sum_p w_p * ( I_cur( pi( T(xi) * pi^-1(p, d_ref(p)) ) )
+                          - I_ref(p) )^2
+
+with Huber weights, analytic Jacobians through the warp, and a fixed
+iteration budget per pyramid level (masked early-exit semantics — lanes
+that stop improving contribute zero updates).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from flame_ros_tpu.geometry.camera import Pinhole
+from flame_ros_tpu.geometry.se3 import SE3, quat_mul, quat_rotate
+from flame_ros_tpu.ops.pyramid import bilinear_pyramid
+
+
+class TrackResult(NamedTuple):
+    q: jax.Array           # [4] refined pose T_ref_cur rotation
+    t: jax.Array           # [3]
+    final_cost: jax.Array  # scalar mean Huber cost
+    n_inliers: jax.Array   # scalar
+
+
+def _se3_exp_qt(tau):
+    T = SE3.exp(tau)
+    return T.q, T.t
+
+
+@partial(jax.jit, static_argnames=("cam", "num_points", "iters_per_level",
+                                   "num_levels"))
+def track_frame(ref_pyr, ref_idepth, cur_pyr, init_q, init_t, *,
+                cam: Pinhole, num_points: int = 2048,
+                iters_per_level: int = 10, num_levels: int = 3,
+                huber_delta: float = 8.0, min_grad: float = 4.0):
+    """Estimate T_rc (points in ref frame -> cur frame... specifically the
+    transform taking ref-camera coordinates to cur-camera coordinates).
+
+    ref_pyr/cur_pyr: [L, H, W] pyramids; ref_idepth: [H, W] (NaN invalid);
+    init_q/init_t: initial guess for T_rc (e.g. identity or motion model).
+    Returns TrackResult with the refined relative pose.
+    """
+    H, W = cam.height, cam.width
+
+    # --- select trackable points (static count, mask-weighted) --------
+    # Grid-strided candidates, scored by gradient magnitude * valid depth.
+    stride_y = max(H * W // (num_points * 4), 1)
+    idx = (jnp.arange(num_points * 4) * 97) % (H * W)  # strided coverage
+    py = (idx // W).astype(jnp.float32)
+    px = (idx % W).astype(jnp.float32)
+    uv = jnp.stack([px, py], -1)
+    lvl0 = jnp.zeros(num_points * 4, jnp.int32)
+    gx, _ = bilinear_pyramid(ref_pyr, uv + jnp.array([1.0, 0.0]), lvl0)
+    gx2, _ = bilinear_pyramid(ref_pyr, uv - jnp.array([1.0, 0.0]), lvl0)
+    gy, _ = bilinear_pyramid(ref_pyr, uv + jnp.array([0.0, 1.0]), lvl0)
+    gy2, _ = bilinear_pyramid(ref_pyr, uv - jnp.array([0.0, 1.0]), lvl0)
+    grad = jnp.abs(gx - gx2) * 0.5 + jnp.abs(gy - gy2) * 0.5
+    xi_ref = ref_idepth[py.astype(jnp.int32), px.astype(jnp.int32)]
+    ok = jnp.isfinite(xi_ref) & (xi_ref > 1e-3) & (grad >= min_grad)
+    score = jnp.where(ok, grad, -1.0)
+    top = jax.lax.top_k(score, num_points)[1]
+    uv = uv[top]
+    xi = jnp.nan_to_num(xi_ref, nan=1.0)[top]
+    valid0 = ok[top]
+    iref0, _ = bilinear_pyramid(ref_pyr, uv, jnp.zeros(num_points, jnp.int32))
+    X_ref = cam.backproject(uv, jnp.maximum(xi, 1e-3))    # [P, 3]
+
+    def level_solve(carry, level):
+        q, t = carry
+        lvl = jnp.full((num_points,), level, jnp.int32)
+
+        def gn_iter(_, qt):
+            q, t = qt
+            Xc = quat_rotate(q[None, :], X_ref) + t[None, :]
+            z = Xc[..., 2]
+            front = z > 1e-3
+            zs = jnp.where(front, z, 1.0)
+            u = cam.fx * Xc[..., 0] / zs + cam.cx
+            v = cam.fy * Xc[..., 1] / zs + cam.cy
+            uvc = jnp.stack([u, v], -1)
+            icur, inb = bilinear_pyramid(cur_pyr, uvc, lvl)
+            # Image gradient at the warped point (central, level-aware).
+            step = jnp.exp2(level.astype(jnp.float32))
+            du = jnp.stack([jnp.full_like(u, step), jnp.zeros_like(u)], -1)
+            dv = jnp.stack([jnp.zeros_like(u), jnp.full_like(u, step)], -1)
+            ip_u, _ = bilinear_pyramid(cur_pyr, uvc + du, lvl)
+            im_u, _ = bilinear_pyramid(cur_pyr, uvc - du, lvl)
+            ip_v, _ = bilinear_pyramid(cur_pyr, uvc + dv, lvl)
+            im_v, _ = bilinear_pyramid(cur_pyr, uvc - dv, lvl)
+            gIu = (ip_u - im_u) / (2 * step)
+            gIv = (ip_v - im_v) / (2 * step)
+
+            r = icur - iref0
+            w_h = jnp.where(jnp.abs(r) <= huber_delta, 1.0,
+                            huber_delta / jnp.maximum(jnp.abs(r), 1e-6))
+            m = (valid0 & front & inb).astype(jnp.float32) * w_h
+
+            # d(pixel)/d(Xc):
+            fxz = cam.fx / zs
+            fyz = cam.fy / zs
+            Ju = jnp.stack([fxz, jnp.zeros_like(z),
+                            -cam.fx * Xc[..., 0] / (zs * zs)], -1)
+            Jv = jnp.stack([jnp.zeros_like(z), fyz,
+                            -cam.fy * Xc[..., 1] / (zs * zs)], -1)
+            gX = gIu[:, None] * Ju + gIv[:, None] * Jv     # [P, 3]
+            # d(Xc)/d(twist): [I | -[Xc]x] for tau = (v, omega).
+            Jx = jnp.concatenate([
+                gX,
+                jnp.stack([
+                    -gX[:, 1] * Xc[:, 2] + gX[:, 2] * Xc[:, 1],
+                    gX[:, 0] * Xc[:, 2] - gX[:, 2] * Xc[:, 0],
+                    -gX[:, 0] * Xc[:, 1] + gX[:, 1] * Xc[:, 0],
+                ], -1)], -1)                                # [P, 6]
+
+            A = (Jx * m[:, None]).T @ Jx + 1e-4 * jnp.eye(6)
+            b = (Jx * m[:, None]).T @ r
+            tau = -jnp.linalg.solve(A, b)
+            tau = jnp.clip(tau, -0.5, 0.5)
+            dq, dt = _se3_exp_qt(tau)
+            # Left-compose the increment: T <- dT * T.
+            q_new = quat_mul(dq, q)
+            t_new = quat_rotate(dq, t) + dt
+            return (q_new, t_new)
+
+        q, t = jax.lax.fori_loop(0, iters_per_level, gn_iter, (q, t))
+        return (q, t), None
+
+    levels = jnp.arange(num_levels - 1, -1, -1, dtype=jnp.int32)
+    (q, t), _ = jax.lax.scan(level_solve, (init_q, init_t), levels)
+
+    # Final diagnostics at level 0.
+    Xc = quat_rotate(q[None, :], X_ref) + t[None, :]
+    z = jnp.maximum(Xc[..., 2], 1e-3)
+    uvc = jnp.stack([cam.fx * Xc[..., 0] / z + cam.cx,
+                     cam.fy * Xc[..., 1] / z + cam.cy], -1)
+    icur, inb = bilinear_pyramid(cur_pyr, uvc,
+                                 jnp.zeros(num_points, jnp.int32))
+    r = jnp.abs(icur - iref0)
+    m = valid0 & inb & (Xc[..., 2] > 1e-3)
+    inl = m & (r < 2 * huber_delta)
+    cost = jnp.sum(jnp.where(m, jnp.minimum(r, 3 * huber_delta), 0.0)) \
+        / jnp.maximum(jnp.sum(m.astype(jnp.float32)), 1.0)
+    return TrackResult(q=q, t=t, final_cost=cost,
+                       n_inliers=jnp.sum(inl.astype(jnp.int32)))

@@ -44,15 +44,54 @@ class GraphState(NamedTuple):
 
 
 class GraphTopology(NamedTuple):
-    """Static-shape graph: padded edge list + per-edge geometry."""
+    """Static-shape graph: padded edge list + per-edge geometry.
+
+    `inc_edges`/`inc_sign` are the transpose structure: for each vertex, up
+    to D incident edge ids with +1 (vertex is the edge tail i) or -1 (head
+    j), 0-sign padding. With them the adjoint K^T is pure gathers — TPU
+    scatters serialize, and the primal-dual loop runs every frame.
+    """
     edges: jax.Array      # [E, 2] int32 (i, j); padding rows point at 0
     edge_valid: jax.Array  # [E] bool
     dp: jax.Array         # [E, 2] p_i - p_j (pixels)
     alpha: jax.Array      # [E] first-order weight (0 on padding)
     beta: jax.Array       # [E] second-order weight
+    inc_edges: jax.Array = None  # [V, D] int32
+    inc_sign: jax.Array = None   # [V, D] float32 (+1 tail / -1 head / 0 pad)
 
 
-def build_topology(edges, edge_valid, vtx_pos):
+def build_incidence(edges: "np.ndarray", edge_valid: "np.ndarray",
+                    num_vertices: int, max_degree: int = 16):
+    """Host-side incidence builder (numpy; runs at triangulation rate).
+
+    Returns (inc_edges [V, D], inc_sign [V, D], keep_edge [E]): edges
+    beyond a vertex's degree budget are reported in keep_edge=False so the
+    caller can invalidate them — K and K^T must see the same edge set.
+    """
+    import numpy as np
+    E = len(edges)
+    inc_e = np.zeros((num_vertices, max_degree), np.int32)
+    inc_s = np.zeros((num_vertices, max_degree), np.float32)
+    deg = np.zeros(num_vertices, np.int32)
+    keep = np.asarray(edge_valid, bool).copy()
+    for e in range(E):
+        if not keep[e]:
+            continue
+        i, j = int(edges[e, 0]), int(edges[e, 1])
+        if deg[i] >= max_degree or deg[j] >= max_degree:
+            keep[e] = False
+            continue
+        inc_e[i, deg[i]] = e
+        inc_s[i, deg[i]] = 1.0
+        deg[i] += 1
+        inc_e[j, deg[j]] = e
+        inc_s[j, deg[j]] = -1.0
+        deg[j] += 1
+    return inc_e, inc_s, keep
+
+
+def build_topology(edges, edge_valid, vtx_pos, inc_edges=None,
+                   inc_sign=None):
     """Compute per-edge geometry/weights from vertex positions.
 
     edges: [E, 2] int32, edge_valid: [E] bool, vtx_pos: [V, 2] float32.
@@ -63,7 +102,8 @@ def build_topology(edges, edge_valid, vtx_pos):
     dist = jnp.linalg.norm(dp, axis=-1)
     inv = jnp.where(edge_valid, 1.0 / jnp.maximum(dist, 1.0), 0.0)
     return GraphTopology(edges=edges, edge_valid=edge_valid, dp=dp,
-                         alpha=inv, beta=inv)
+                         alpha=inv, beta=inv, inc_edges=inc_edges,
+                         inc_sign=inc_sign)
 
 
 def init_graph_state(x0, w0=None, q0=None):
@@ -87,6 +127,21 @@ def _K_apply(top: GraphTopology, x, w):
 
 def _KT_apply(top: GraphTopology, q, num_vertices: int):
     """Adjoint K^T q -> (gx [V], gw [V,2])."""
+    if top.inc_edges is not None:
+        # Gather formulation over the incidence lists (no scatters).
+        e = top.inc_edges                       # [V, D]
+        s = top.inc_sign                        # [V, D]
+        tail = (s > 0).astype(q.dtype)
+        live = (s != 0).astype(q.dtype)
+        a_q1 = (top.alpha * q[:, 0])[e]
+        b_q2 = (top.beta * q[:, 1])[e]
+        b_q3 = (top.beta * q[:, 2])[e]
+        gx = jnp.sum(live * s * a_q1, axis=-1)
+        gw1 = jnp.sum(live * (tail * (-a_q1 * top.dp[:, 0][e] + b_q2)
+                              - (1 - tail) * b_q2), axis=-1)
+        gw2 = jnp.sum(live * (tail * (-a_q1 * top.dp[:, 1][e] + b_q3)
+                              - (1 - tail) * b_q3), axis=-1)
+        return gx, jnp.stack([gw1, gw2], axis=-1)
     i, j = top.edges[:, 0], top.edges[:, 1]
     a_q1 = top.alpha * q[:, 0]
     b_q2 = top.beta * q[:, 1]
@@ -103,7 +158,6 @@ def _KT_apply(top: GraphTopology, q, num_vertices: int):
 def _precond_steps(top: GraphTopology, num_vertices: int):
     """Pock-Chambolle diagonal preconditioners (a=1):
     sigma_row = 1/sum|K_row|, tau_col = 1/sum|K_col|."""
-    i, j = top.edges[:, 0], top.edges[:, 1]
     absa = jnp.abs(top.alpha)
     absb = jnp.abs(top.beta)
     adp1 = jnp.abs(top.alpha * top.dp[:, 0])
@@ -114,11 +168,23 @@ def _precond_steps(top: GraphTopology, num_vertices: int):
     row3 = row2
     sigma = 1.0 / jnp.maximum(jnp.stack([row1, row2, row3], -1), 1e-6)
     # Column sums (per primal variable).
-    col_x = (jnp.zeros(num_vertices).at[i].add(absa).at[j].add(absa))
-    col_w1 = (jnp.zeros(num_vertices)
-              .at[i].add(adp1 + absb).at[j].add(absb))
-    col_w2 = (jnp.zeros(num_vertices)
-              .at[i].add(adp2 + absb).at[j].add(absb))
+    if top.inc_edges is not None:
+        e = top.inc_edges
+        s = top.inc_sign
+        live = (s != 0).astype(jnp.float32)
+        tail = (s > 0).astype(jnp.float32)
+        col_x = jnp.sum(live * absa[e], -1)
+        col_w1 = jnp.sum(live * (tail * (adp1[e] + absb[e])
+                                 + (1 - tail) * absb[e]), -1)
+        col_w2 = jnp.sum(live * (tail * (adp2[e] + absb[e])
+                                 + (1 - tail) * absb[e]), -1)
+    else:
+        i, j = top.edges[:, 0], top.edges[:, 1]
+        col_x = (jnp.zeros(num_vertices).at[i].add(absa).at[j].add(absa))
+        col_w1 = (jnp.zeros(num_vertices)
+                  .at[i].add(adp1 + absb).at[j].add(absb))
+        col_w2 = (jnp.zeros(num_vertices)
+                  .at[i].add(adp2 + absb).at[j].add(absb))
     tau_x = 1.0 / jnp.maximum(col_x, 1e-6)
     tau_w = 1.0 / jnp.maximum(jnp.stack([col_w1, col_w2], -1), 1e-6)
     return sigma, tau_x, tau_w

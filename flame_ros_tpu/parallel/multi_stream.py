@@ -63,6 +63,8 @@ def state_shardings(mesh: Mesh) -> EngineState:
         edge_q=s("stream", "feat", None),
         edges=s("stream", "feat", None),
         edge_valid=feat_1d,
+        inc_edges=s("stream", "feat", None),
+        inc_sign=s("stream", "feat", None),
         tris=s("stream", "feat", None),
         tri_valid=feat_1d,
         kf_pyrs=s("stream", None, None, None, None),

@@ -112,6 +112,47 @@ def test_padding_edges_are_noops(rng):
     np.testing.assert_allclose(results[0], results[1], atol=1e-6)
 
 
+def test_incidence_gather_matches_scatter(rng):
+    """The gather-based K^T (incidence lists) must equal the scatter form."""
+    from flame_ros_tpu.ops.nltgv2 import build_incidence
+    pts, edges = _grid_graph(rng, nx=8, ny=6)
+    V = len(pts)
+    E = 256
+    e, ev = _pad_edges(edges, E)
+    inc_e, inc_s, keep = build_incidence(np.asarray(e), np.asarray(ev), V, 16)
+    assert keep[:len(edges)].all()  # grid degree far below budget
+    z = rng.normal(0.4, 0.05, V).astype(np.float32)
+    valid = jnp.ones(V, bool)
+    lam = data_weights(jnp.full(V, 1e-3), valid, data_factor=0.15,
+                       adaptive=False, rescale=False)
+    outs = []
+    for use_inc in (False, True):
+        top = build_topology(
+            e, ev, jnp.asarray(pts),
+            inc_edges=jnp.asarray(inc_e) if use_inc else None,
+            inc_sign=jnp.asarray(inc_s) if use_inc else None)
+        state = GraphState(x=jnp.asarray(z), w=jnp.zeros((V, 2), jnp.float32),
+                           q=jnp.zeros((E, 3), jnp.float32),
+                           x_bar=jnp.asarray(z),
+                           w_bar=jnp.zeros((V, 2), jnp.float32))
+        out = pd_iterate(state, top, jnp.asarray(z), lam, valid,
+                         num_iters=40)
+        outs.append((np.asarray(out.x), np.asarray(out.w)))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-5)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-5)
+
+
+def test_build_incidence_degree_cap(rng):
+    """Edges beyond the degree budget are dropped consistently."""
+    from flame_ros_tpu.ops.nltgv2 import build_incidence
+    # Star graph: vertex 0 connected to 1..9, budget 4.
+    edges = np.array([[0, k] for k in range(1, 10)], np.int32)
+    ev = np.ones(9, bool)
+    inc_e, inc_s, keep = build_incidence(edges, ev, 10, max_degree=4)
+    assert keep.sum() == 4
+    assert (inc_s[0] != 0).sum() == 4
+
+
 def test_adaptive_rescaled_weights():
     var = jnp.asarray(np.array([1e-2, 1e-3, 1e-4], np.float32))
     valid = jnp.ones(3, bool)

@@ -82,6 +82,32 @@ def test_heartbeat_escalation():
     assert Health.ALARM in beats
 
 
+def test_tracking_mode_estimates_trajectory():
+    """No external poses: bootstrap scale from a depth map on frame 0,
+    then track every frame by direct alignment. Estimated trajectory must
+    match GT (ATE) since both start at identity and share scale."""
+    n = 25
+    seq = make_sequence(n_frames=30, cam=QVGA, motion="strafe")
+    node = FlameNodelet(seq.cam, _params(), pose_source="tracking")
+    est_poses = {}
+    node.on_stats.append(lambda r: None)
+    for i in range(n):
+        node.push_frame(i, seq.timestamps[i], gray=seq.images[i],
+                        depth=seq.depths[0] if i == 0 else None)
+        node.run_until_idle(idle_timeout=0.01)
+        est_poses[i] = node._last_pose[1]
+    errs = []
+    for i in range(n):
+        gt_t = np.asarray(seq.poses.t[i])
+        et = np.asarray(est_poses[i].t)
+        errs.append(np.linalg.norm(et - gt_t))
+    ate = np.sqrt(np.mean(np.square(errs)))
+    path_len = 2.0  # approx trajectory arc length over 25/30 of the loop
+    assert ate < 0.05 * path_len, f"ATE {ate:.4f} m (errs {np.round(errs,3)})"
+    # Tracking costs stay in the converged regime.
+    assert np.median(node.track_costs) < 12.0
+
+
 def test_poseframe_callback_infers_pattern():
     seq = make_sequence(n_frames=13, cam=QVGA)
     node = FlameNodelet(seq.cam, _params())
