@@ -31,6 +31,55 @@ from flame_ros_tpu.geometry.frames import world_to_rdf, ASL_FRAMES
 
 
 @dataclass
+class IMUData:
+    """ASL IMU record (reference dataset_utils::asl::IMUData, types.h:37)."""
+    timestamp: int
+    gyro: np.ndarray    # [3] rad/s
+    accel: np.ndarray   # [3] m/s^2
+
+    @staticmethod
+    def from_row(ts: int, row: list) -> "IMUData":
+        v = [float(x) for x in row]
+        return IMUData(ts, np.asarray(v[0:3]), np.asarray(v[3:6]))
+
+
+@dataclass
+class PoseData:
+    """ASL pose record: p [3] + q (w,x,y,z) (reference types.h:60)."""
+    timestamp: int
+    trans: np.ndarray
+    quat: np.ndarray
+
+    @staticmethod
+    def from_row(ts: int, row: list) -> "PoseData":
+        v = [float(x) for x in row]
+        q = np.asarray(v[3:7])
+        return PoseData(ts, np.asarray(v[0:3]), q / np.linalg.norm(q))
+
+
+@dataclass
+class PositionData:
+    """ASL position-only record (e.g. Leica, reference types.h:83)."""
+    timestamp: int
+    pos: np.ndarray
+
+    @staticmethod
+    def from_row(ts: int, row: list) -> "PositionData":
+        return PositionData(ts, np.asarray([float(x) for x in row[0:3]]))
+
+
+@dataclass
+class FileData:
+    """ASL file record: timestamped filename (reference types.h:104)."""
+    timestamp: int
+    filename: str
+
+    @staticmethod
+    def from_row(ts: int, row: list) -> "FileData":
+        return FileData(ts, row[0])
+
+
+@dataclass
 class ASLSensor:
     """Generic ASL sensor folder (reference Dataset<Data>)."""
     path: str
@@ -60,6 +109,21 @@ class ASLSensor:
         data = self.metadata["T_BS"]["data"]
         T = np.asarray(data, np.float64).reshape(4, 4)
         return T[:3, :3], T[:3, 3]
+
+    def typed_records(self):
+        """Parse CSV rows into typed records by sensor_type (reference
+        Dataset<Data> with IMUData/PoseData/PositionData/FileData)."""
+        kind = self.metadata.get("sensor_type", "")
+        cls = {"imu": IMUData, "camera": FileData,
+               "visual-inertial": PoseData, "vicon": PoseData,
+               "position": PositionData}.get(kind)
+        if cls is None:
+            # Heuristic on column count.
+            ncols = len(self.records[0]) if self.records else 0
+            cls = {1: FileData, 3: PositionData, 6: IMUData,
+                   7: PoseData}.get(ncols, FileData)
+        return [cls.from_row(int(ts), row)
+                for ts, row in zip(self.timestamps, self.records)]
 
 
 @dataclass

@@ -139,14 +139,14 @@ def _fused_frame_step(state: EngineState, img_raw, cur_q, cur_t, frame_id,
     the steady-state path is a single fused computation; poseframes use
     the split track/smooth pair around the host triangulation."""
     img_pyr = build_pyramid(img_raw.astype(jnp.float32), NUM_LEVELS)
-    state, status, counts_vec = _track_step.__wrapped__(
+    state, status, uv_match, counts_vec = _track_step.__wrapped__(
         state, img_pyr, cur_q, cur_t, frame_id, jnp.int32(0),
         _ZERO_IMG(cam), cam=cam, params=params,
         is_poseframe=False, use_truth=False)
     state, idepth_map, stats_vec = _smooth_step.__wrapped__(
         state, img_pyr, cur_q, cur_t, counts_vec, gt_depth,
         cam=cam, params=params, has_gt=has_gt)
-    return state, status, idepth_map, stats_vec
+    return state, status, uv_match, idepth_map, stats_vec
 
 
 @partial(jax.jit, static_argnames=("cam", "params", "is_poseframe",
@@ -294,6 +294,7 @@ def _track_step(state: EngineState, img_pyr, cur_q, cur_t, frame_id,
                           jnp.full_like(det_rank, frame_id)),
         )
         n_detected = jnp.sum(take.astype(jnp.int32))
+        detections = (duv, take)
         # New features appear at their own pixel with their init idepth.
         vtx_uv = scat(vtx_uv, duv)
         vtx_x = scat(vtx_x, mu0)
@@ -329,7 +330,9 @@ def _track_step(state: EngineState, img_pyr, cur_q, cur_t, frame_id,
         counts["num_fail_max_var"].astype(jnp.float32),
         n_detected.astype(jnp.float32),
     ])
-    return new_state, res.status, counts_vec
+    if is_poseframe:
+        return new_state, res.status, res.uv_match, counts_vec, detections
+    return new_state, res.status, res.uv_match, counts_vec
 
 
 # Fixed layout of the per-frame device stats vector. ONE small D2H pull
@@ -385,6 +388,10 @@ def _smooth_step(state: EngineState, img_pyr, cur_q, cur_t, track_counts,
     else:
         vtx_x = jnp.where(state.vtx_in_graph, state.vtx_z, vtx_x)
 
+    if reg.do_median_filter:
+        vtx_x = reg_ops.graph_median(vtx_x, state.inc_edges,
+                                     state.inc_sign, state.edges,
+                                     state.vtx_in_graph)
     if reg.do_lowpass_filter:
         vtx_x = reg_ops.graph_lowpass(vtx_x, state.edges, state.edge_valid,
                                       state.vtx_in_graph)
@@ -474,6 +481,8 @@ class Flame:
         # compute; see DEVICE_STATS_KEYS).
         self._dev_status = None
         self._dev_stats = None
+        self._dev_uv_match = None
+        self._dev_detections = None
         self._host_status = None
         self._host_idepth = None
         self._host_idepth_frame = -1
@@ -515,7 +524,7 @@ class Flame:
 
             if not is_pf and not use_truth:
                 # Steady-state: everything in one dispatch.
-                self.state, status, idepth_map, stats_vec = \
+                self.state, status, uv_match, idepth_map, stats_vec = \
                     _fused_frame_step(
                         self.state, img_dev, cur_q, cur_t,
                         jnp.int32(img_id), gt,
@@ -524,11 +533,17 @@ class Flame:
                 truth = (jnp.asarray(idepths_truth, jnp.float32)
                          if use_truth else _ZERO_IMG(self.cam))
                 with s.scope("update_idepths"):
-                    self.state, status, counts_vec = _track_step(
+                    out = _track_step(
                         self.state, img_pyr, cur_q, cur_t,
                         jnp.int32(img_id), jnp.int32(self._kf_slot), truth,
                         cam=self.cam, params=self.params,
                         is_poseframe=is_pf, use_truth=use_truth)
+                    if is_pf:
+                        (self.state, status, uv_match, counts_vec,
+                         dets) = out
+                        self._dev_detections = dets
+                    else:
+                        self.state, status, uv_match, counts_vec = out
 
                 if is_pf:
                     self._num_poseframes += 1
@@ -543,6 +558,7 @@ class Flame:
                         cam=self.cam, params=self.params, has_gt=has_gt)
 
             self._dev_status = status
+            self._dev_uv_match = uv_match
             self._dev_stats = stats_vec
             self._host_status = None
             self._frame_count += 1
@@ -662,6 +678,19 @@ class Flame:
             st.vtx_uv, st.vtx_x, st.tris, st.tri_valid & keep,
             height=self.cam.height, width=self.cam.width)
         return np.asarray(m)
+
+    def get_normal_map(self) -> np.ndarray:
+        """Dense per-pixel surface normals (NaN outside; debug/normals)."""
+        st = self.state
+        return np.asarray(raster_ops.rasterize_normal_map(
+            st.vtx_uv, st.vtx_x, st.tris, st.tri_valid, self.cam))
+
+    def get_detections(self):
+        """Last poseframe's detections: (uv [C,2], taken [C]) or None."""
+        if self._dev_detections is None:
+            return None
+        duv, take = self._dev_detections
+        return np.asarray(duv), np.asarray(take)
 
     def get_raw_idepths(self):
         """(vertices [N,2] current-frame px, mu [N], var [N]) for live

@@ -268,6 +268,28 @@ def data_weights(var, valid, *, data_factor: float,
     return data_factor * base
 
 
+@partial(jax.jit, static_argnames=("max_degree",))
+def graph_median(x, inc_edges, inc_sign, edges, vtx_valid,
+                 *, max_degree: int = 16):
+    """Median filter over graph neighborhoods (reference do_median_filter):
+    x_i <- median(x_i, neighbors). Uses the incidence lists; the median of
+    the padded neighborhood is computed by sorting with +/-inf padding
+    split evenly so the median index stays centered."""
+    V, D = inc_edges.shape
+    other = jnp.where(inc_sign > 0, edges[inc_edges, 1],
+                      edges[inc_edges, 0])
+    vals = x[other]
+    live = inc_sign != 0
+    # Dead lanes pad with +inf; the (deg+1)-element neighborhood median is
+    # then at sorted index deg//2 per vertex.
+    vals = jnp.where(live, vals, jnp.inf)
+    allv = jnp.concatenate([vals, x[:, None]], axis=1)
+    s = jnp.sort(allv, axis=1)
+    deg = jnp.sum(live.astype(jnp.int32), axis=1)
+    med = jnp.take_along_axis(s, (deg // 2)[:, None], axis=1)[:, 0]
+    return jnp.where(vtx_valid & (deg > 0), med, x)
+
+
 @jax.jit
 def graph_lowpass(x, edges, edge_valid, vtx_valid, alpha: float = 0.5):
     """Neighborhood lowpass over the graph (reference do_lowpass_filter):

@@ -138,6 +138,29 @@ def rasterize_idepth(vtx_pos, vtx_x, tris, tri_valid, *, height: int,
     return idepth, idmap
 
 
+@partial(jax.jit, static_argnames=("cam",))
+def rasterize_normal_map(vtx_pos, vtx_x, tris, tri_valid, cam: Pinhole):
+    """Dense per-pixel surface normals from the mesh's face planes
+    (feeds the reference's debug/normals rendering). NaN outside."""
+    planes, pvalid = triangle_planes(vtx_pos, vtx_x, tris, tri_valid)
+    idmap = rasterize_tri_ids(vtx_pos, tris, pvalid,
+                              height=cam.height, width=cam.width)
+    covered = idmap >= 0
+    g = planes[jnp.clip(idmap, 0)]
+    n = jnp.stack([
+        cam.fx * g[..., 1],
+        cam.fy * g[..., 2],
+        g[..., 0] + g[..., 1] * cam.cx + g[..., 2] * cam.cy,
+    ], -1)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    u = jax.lax.broadcasted_iota(jnp.float32, (cam.height, cam.width), 1)
+    v = jax.lax.broadcasted_iota(jnp.float32, (cam.height, cam.width), 0)
+    ray = cam.ray(jnp.stack([u, v], -1))
+    flip = jnp.sum(n * ray, -1) > 0
+    n = jnp.where(flip[..., None], -n, n)
+    return jnp.where(covered[..., None], n, jnp.nan)
+
+
 def vertex_normals(vtx_pos, x, w, cam: Pinhole):
     """Per-vertex 3D surface normals from the regularizer's plane gradients
     (reference getInverseDepthMesh normals output).

@@ -95,6 +95,7 @@ def draw_matches(gray, uv_start, uv_match, status, valid, *,
         color = (0, 255, 0) if s == STATUS_OK else (255, 0, 0)
         cv2.line(img, tuple(np.round(p0).astype(int)),
                  tuple(np.round(p1).astype(int)), color, 1, cv2.LINE_AA)
+        cv2.circle(img, tuple(np.round(p1).astype(int)), 1, color, -1)
     return _maybe_flip(img, flip)
 
 
@@ -117,7 +118,7 @@ def draw_normals(gray, idepth_map, normal_map, *, flip: bool = False
     img = _to_rgb(gray)
     n = np.asarray(normal_map)
     m = np.isfinite(np.asarray(idepth_map)) & np.isfinite(n).all(-1)
-    rgb = ((n * 0.5 + 0.5) * 255).astype(np.uint8)
+    rgb = (np.nan_to_num(n * 0.5 + 0.5, nan=0.0) * 255).astype(np.uint8)
     img[m] = rgb[m]
     return _maybe_flip(img, flip)
 
@@ -151,8 +152,20 @@ def render_debug_images(engine, gray: np.ndarray) -> dict:
             text=txt, flip=d.flip_images)
     if d.matches and engine.last_status is not None:
         st = engine.state
+        uv_match = (np.asarray(engine._dev_uv_match)
+                    if engine._dev_uv_match is not None
+                    else np.asarray(st.vtx_uv))
         out["matches"] = draw_matches(
-            gray, np.asarray(st.vtx_uv), np.asarray(st.vtx_uv),
+            gray, np.asarray(st.vtx_uv), uv_match,
             engine.last_status, np.asarray(st.feat.valid),
+            flip=d.flip_images)
+    if d.detections:
+        det = engine.get_detections()
+        if det is not None:
+            out["detections"] = draw_detections(gray, det[0], det[1],
+                                                flip=d.flip_images)
+    if d.normals:
+        out["normals"] = draw_normals(
+            gray, engine.get_inverse_depth_map(), engine.get_normal_map(),
             flip=d.flip_images)
     return out

@@ -94,16 +94,33 @@ return mul(P,mul(Z,mul(R,T)));}
 function mul(A,B){const O=new Array(16).fill(0);
 for(let i=0;i<4;i++)for(let j=0;j<4;j++)for(let k=0;k<4;k++)
 O[j*4+i]+=A[k*4+i]*B[j*4+k];return O;}
-const lineProg = prog; // reuse with degenerate uv
+// Surface-normal line overlay (reference SurfaceNormalsVisual line list):
+// each vertex contributes a segment [p, p + len*n], colored by n.
+const nlen = DATA.scale*0.03;
+const nverts = xyz.length/3;
+const lpos = new Float32Array(nverts*6), lnrm = new Float32Array(nverts*6),
+ luv = new Float32Array(nverts*4);
+for(let i=0;i<nverts;i++){
+ for(let k=0;k<3;k++){ lpos[6*i+k]=xyz[3*i+k];
+  lpos[6*i+3+k]=xyz[3*i+k]+nlen*nrm[3*i+k];
+  lnrm[6*i+k]=nrm[3*i+k]; lnrm[6*i+3+k]=nrm[3*i+k]; } }
+const lpb=buf(gl.ARRAY_BUFFER,lpos), lnb=buf(gl.ARRAY_BUFFER,lnrm),
+ ltb=buf(gl.ARRAY_BUFFER,luv);
 function draw(){
  gl.viewport(0,0,cv.width,cv.height);
  gl.clearColor(0.06,0.06,0.08,1); gl.enable(gl.DEPTH_TEST);
  gl.clear(gl.COLOR_BUFFER_BIT|gl.DEPTH_BUFFER_BIT);
  gl.uniformMatrix4fv(gl.getUniformLocation(prog,'mvp'),false,new Float32Array(mat()));
- gl.uniform1i(gl.getUniformLocation(prog,'mode'),mode);
  gl.uniform1f(gl.getUniformLocation(prog,'scale'),DATA.scale);
+ attr('p',pb,3); attr('n',nb,3); attr('t',tb,2);
+ gl.uniform1i(gl.getUniformLocation(prog,'mode'),mode);
  gl.bindBuffer(gl.ELEMENT_ARRAY_BUFFER,ib);
  gl.drawElements(gl.TRIANGLES,idx.length,gl.UNSIGNED_INT,0);
+ if(showNormals){
+  attr('p',lpb,3); attr('n',lnb,3); attr('t',ltb,2);
+  gl.uniform1i(gl.getUniformLocation(prog,'mode'),2);
+  gl.drawArrays(gl.LINES,0,nverts*2);
+ }
  document.getElementById('info').textContent =
   ` ${xyz.length/3} verts, ${idx.length/3} tris`;
  requestAnimationFrame(draw);}

@@ -164,6 +164,26 @@ def test_adaptive_rescaled_weights():
     assert lam[2] > lam[1] > lam[0]
 
 
+def test_graph_median(rng):
+    """Median filter kills an isolated spike exactly (reference
+    do_median_filter semantics)."""
+    from flame_ros_tpu.ops.nltgv2 import build_incidence, graph_median
+    pts, edges = _grid_graph(rng, nx=6, ny=5)
+    V = len(pts)
+    e, ev = _pad_edges(edges, 256)
+    inc_e, inc_s, _ = build_incidence(np.asarray(e), np.asarray(ev), V, 16)
+    x = np.full(V, 0.3, np.float32)
+    x[12] = 5.0
+    out = np.asarray(graph_median(
+        jnp.asarray(x), jnp.asarray(inc_e), jnp.asarray(inc_s), e,
+        jnp.ones(V, bool)))
+    np.testing.assert_allclose(out[12], 0.3, atol=1e-6)
+    # Non-spiked interior vertices unchanged.
+    far = np.setdiff1d(np.arange(V), np.concatenate(
+        [[12], edges[np.any(edges == 12, 1)].ravel()]))
+    np.testing.assert_allclose(out[far], 0.3, atol=1e-6)
+
+
 def test_graph_lowpass(rng):
     pts, edges = _grid_graph(rng, nx=6, ny=5)
     V = len(pts)
