@@ -159,6 +159,7 @@ class EngineParams:
     max_cost: float = 800.0      # Max accepted SSD matching cost.
     min_ref_patch_grad: float = 1.0  # Min gradient along epipolar dir in ref.
     compute_dtype: str = "float32"
+    use_pallas_raster: bool = False  # Hand-scheduled Pallas raster kernel.
 
     @property
     def max_triangles(self) -> int:

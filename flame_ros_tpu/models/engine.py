@@ -399,7 +399,8 @@ def _smooth_step(state: EngineState, img_pyr, cur_q, cur_t, track_counts,
     # --- rasterize ------------------------------------------------------
     idepth_map, idmap = raster_ops.rasterize_idepth(
         state.vtx_uv, vtx_x, state.tris, state.tri_valid,
-        height=cam.height, width=cam.width)
+        height=cam.height, width=cam.width,
+        use_pallas=eng.use_pallas_raster)
     cov = raster_ops.coverage(idepth_map)
 
     # --- photometric error (vs most recent keyframe) -------------------
@@ -730,6 +731,41 @@ class Flame:
         self.state = self.state._replace(
             kf_valid=jnp.asarray(kf_valid),
             feat=self.state.feat._replace(valid=jnp.asarray(fvalid)))
+
+    # -- checkpoint / resume (absent in the reference, SURVEY §5.4) ------
+    def save_checkpoint(self, path: str):
+        """Serialize the full engine state (keyframe tensors, graph state,
+        filter posteriors) + host counters. EngineState is a flat pytree of
+        arrays, so a single NPZ captures everything."""
+        leaves, treedef = jax.tree.flatten(self.state)
+        arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+        arrays["__host__"] = np.array([
+            self._num_poseframes, self._frame_count, self._kf_slot])
+        import json
+        arrays["__params__"] = np.frombuffer(
+            json.dumps(self.params.to_dict()).encode(), dtype=np.uint8)
+        np.savez_compressed(path, **arrays)
+
+    def load_checkpoint(self, path: str):
+        """Restore engine state saved by save_checkpoint. The engine must
+        be constructed with the same capacity params (shape-checked)."""
+        data = np.load(path)
+        leaves, treedef = jax.tree.flatten(self.state)
+        new_leaves = []
+        for i, old in enumerate(leaves):
+            arr = data[f"leaf_{i}"]
+            if arr.shape != old.shape:
+                raise ValueError(
+                    f"checkpoint shape mismatch at leaf {i}: "
+                    f"{arr.shape} vs {old.shape} — construct the engine "
+                    f"with the same capacity params")
+            new_leaves.append(jnp.asarray(arr))
+        self.state = jax.tree.unflatten(treedef, new_leaves)
+        host = data["__host__"]
+        self._num_poseframes = int(host[0])
+        self._frame_count = int(host[1])
+        self._kf_slot = int(host[2])
+        self._host_idepth_frame = -1
 
     def stats(self) -> StatsTracker:
         return self.stats_

@@ -122,13 +122,18 @@ def rasterize_tri_ids(vtx_pos, tris, tri_valid, *, height: int, width: int,
     return idmap.reshape(height, width)
 
 
-@partial(jax.jit, static_argnames=("height", "width"))
+@partial(jax.jit, static_argnames=("height", "width", "use_pallas"))
 def rasterize_idepth(vtx_pos, vtx_x, tris, tri_valid, *, height: int,
-                     width: int):
+                     width: int, use_pallas: bool = False):
     """Dense inverse-depth map [H, W] (NaN outside the mesh) + id buffer."""
     planes, pvalid = triangle_planes(vtx_pos, vtx_x, tris, tri_valid)
-    idmap = rasterize_tri_ids(vtx_pos, tris, pvalid,
-                              height=height, width=width)
+    if use_pallas:
+        from flame_ros_tpu.ops.raster_pallas import rasterize_tri_ids_pallas
+        idmap = rasterize_tri_ids_pallas(vtx_pos, tris, pvalid,
+                                         height=height, width=width)
+    else:
+        idmap = rasterize_tri_ids(vtx_pos, tris, pvalid,
+                                  height=height, width=width)
     covered = idmap >= 0
     g = planes[jnp.clip(idmap, 0)]
     u = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)

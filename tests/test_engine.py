@@ -125,6 +125,36 @@ def test_poseframe_prune_and_update(seq):
     assert valid.sum() < n_before
 
 
+def test_checkpoint_resume(seq, tmp_path):
+    """Save mid-run, resume in a fresh engine, continue: identical output
+    to an uninterrupted run (bitwise state restore)."""
+    params = _small_params()
+    a = _run(seq, params, n=8)
+    ckpt = str(tmp_path / "engine.npz")
+    a.save_checkpoint(ckpt)
+
+    b = Flame(seq.cam.width, seq.cam.height, cam=seq.cam, params=params)
+    b.load_checkpoint(ckpt)
+    for i in range(8, 12):
+        pose = SE3(seq.poses.q[i], seq.poses.t[i])
+        assert a.update(seq.timestamps[i], i, pose, seq.images[i],
+                        is_poseframe=(i % 6 == 0))
+        assert b.update(seq.timestamps[i], i, pose, seq.images[i],
+                        is_poseframe=(i % 6 == 0))
+    ia = a.get_inverse_depth_map()
+    ib = b.get_inverse_depth_map()
+    np.testing.assert_array_equal(np.isfinite(ia), np.isfinite(ib))
+    m = np.isfinite(ia)
+    np.testing.assert_allclose(ia[m], ib[m], atol=1e-6)
+
+    # Wrong capacity -> clear error.
+    import pytest
+    bad = Flame(seq.cam.width, seq.cam.height, cam=seq.cam,
+                params=_small_params(engine={"max_features": 256}))
+    with pytest.raises(ValueError, match="capacity"):
+        bad.load_checkpoint(ckpt)
+
+
 def test_filtered_idepth_map(seq):
     engine = _run(seq, _small_params(), n=13)
     filt = engine.get_filtered_inverse_depth_map()
