@@ -36,17 +36,26 @@ def main():
         return (seq.timestamps[j] + (i // n_render), i,
                 SE3(seq.poses.q[j], seq.poses.t[j]), images_u8[j])
 
-    # Warmup: covers both poseframe and non-poseframe compiled paths.
-    warmup = 14
-    for i in range(warmup):
-        t, fid, pose, img = frame(i)
-        engine.update(t, fid, pose, img, is_poseframe=(i % 6 == 0))
+    # Window batching: a poseframe-aligned window ships in ONE packed H2D
+    # and runs as ONE device dispatch (transfer latency over the link
+    # dominates otherwise).
+    WIN = 6
+
+    def window(start):
+        out = []
+        for i in range(start, start + WIN):
+            t, fid, pose, img = frame(i)
+            out.append((t, fid, pose, img, i % 6 == 0))
+        return out
+
+    warmup = 2 * WIN
+    for w in range(0, warmup, WIN):
+        engine.update_window(window(w))
 
     n_timed = 120
     t0 = time.perf_counter()
-    for i in range(warmup, warmup + n_timed):
-        t, fid, pose, img = frame(i)
-        engine.update(t, fid, pose, img, is_poseframe=(i % 6 == 0))
+    for w in range(warmup, warmup + n_timed, WIN):
+        engine.update_window(window(w))
     jax.block_until_ready(engine.state.vtx_x)
     dt = time.perf_counter() - t0
 

@@ -101,6 +101,7 @@ class FlameNodelet:
         # Tracking-mode state.
         self._track_ref = None        # (pyr4, idepth, T_w_ref)
         self._last_rel: Optional[SE3] = None  # previous T_rc (motion model)
+        self._prev_rel: Optional[SE3] = None
         self._pg_nodes: list[tuple[int, SE3]] = []   # (img_id, pose)
         self._pg_edges: list[tuple[int, int, SE3]] = []
         self.track_costs: list[float] = []
@@ -201,11 +202,19 @@ class FlameNodelet:
             self._last_rel = SE3.identity()
             return SE3.identity()
         ref_pyr, ref_idepth, T_w_ref = self._track_ref
+        # Constant-velocity motion model: extrapolate one inter-frame step
+        # beyond the last solution (identity init fails at max keyframe
+        # age, where the accumulated baseline exceeds the coarse level's
+        # capture range).
         init = self._last_rel or SE3.identity()
+        if self._prev_rel is not None and self._last_rel is not None:
+            step = self._prev_rel.inverse() @ self._last_rel
+            init = self._last_rel @ step
         res = track_frame(ref_pyr, ref_idepth, cur_pyr, init.q, init.t,
                           cam=self.cam, num_levels=4)
         self.track_costs.append(float(res.final_cost))
         T_rc = SE3(res.q, res.t)
+        self._prev_rel = self._last_rel
         self._last_rel = T_rc
         self._pending_cur_pyr = cur_pyr
         return T_w_ref @ T_rc.inverse()
@@ -223,6 +232,7 @@ class FlameNodelet:
             return
         self._track_ref = (cur_pyr, jnp.asarray(idepth), pose)
         self._last_rel = SE3.identity()
+        self._prev_rel = None
 
     def _pose_graph_update(self, img_id: int, pose: SE3):
         """Record a keyframe node + odometry edge; periodically optimize
@@ -279,9 +289,16 @@ class FlameNodelet:
                                 is_pf)
         if not ok:
             return
-        if self.pose_source == "tracking" and is_pf:
-            self._refresh_track_ref(pose, self._pending_cur_pyr)
-            self._pose_graph_update(frame.img_id, pose)
+        if self.pose_source == "tracking":
+            # Refresh the tracking keyframe one frame AFTER the poseframe:
+            # the engine retriangulates after the poseframe dispatch, so
+            # that is the first dense map containing the new detections.
+            post_pf = ((frame.img_id - self._first_pf_id)
+                       % max(self._pf_subsample, 1)) == 1
+            if post_pf and self.engine.num_poseframes > 0:
+                self._refresh_track_ref(pose, self._pending_cur_pyr)
+            if is_pf:
+                self._pose_graph_update(frame.img_id, pose)
         self._n_proc += 1
         self._last_success_time = time_mod.perf_counter()
 

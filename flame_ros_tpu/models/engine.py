@@ -130,33 +130,63 @@ def _masked_median(vals, mask, fallback):
     return jnp.where(n > 0, med, fallback)
 
 
+META_LEN = 10  # q4 + t3 + frame_id + is_pf + kf_slot, little-endian f32
+
+
+def pack_frame_meta(quat, trans, frame_id: int, is_pf: bool,
+                    kf_slot: int) -> np.ndarray:
+    """40-byte frame metadata blob appended to the image bytes so a whole
+    frame (or window of frames) ships in ONE H2D transfer — each separate
+    host->device put costs ~30 ms of latency over a tunneled PJRT link."""
+    return np.concatenate([
+        np.asarray(quat, np.float32).ravel(),
+        np.asarray(trans, np.float32).ravel(),
+        np.asarray([frame_id, 1.0 if is_pf else 0.0, kf_slot], np.float32),
+    ]).view(np.uint8)
+
+
 @partial(jax.jit, static_argnames=("cam", "params", "has_gt"))
-def _fused_frame_step(state: EngineState, img_raw, cur_q, cur_t, frame_id,
-                      gt_depth, *, cam: Pinhole, params: FlameParams,
-                      has_gt: bool):
-    """Whole non-poseframe frame in ONE dispatch: pyramid build + track +
-    smooth. Over a tunneled PJRT link every dispatch costs milliseconds, so
-    the steady-state path is a single fused computation; poseframes use
-    the split track/smooth pair around the host triangulation."""
-    img_pyr = build_pyramid(img_raw.astype(jnp.float32), NUM_LEVELS)
-    state, status, uv_match, counts_vec = _track_step.__wrapped__(
-        state, img_pyr, cur_q, cur_t, frame_id, jnp.int32(0),
-        _ZERO_IMG(cam), cam=cam, params=params,
-        is_poseframe=False, use_truth=False)
-    state, idepth_map, stats_vec = _smooth_step.__wrapped__(
-        state, img_pyr, cur_q, cur_t, counts_vec, gt_depth,
-        cam=cam, params=params, has_gt=has_gt)
-    return state, status, uv_match, idepth_map, stats_vec
+def _window_step(state: EngineState, packed, gt_batch, *, cam: Pinhole,
+                 params: FlameParams, has_gt: bool):
+    """B frames in ONE dispatch: lax.scan over packed rows of
+    [H*W image bytes | 40 meta bytes]. The poseframe branch is a traced
+    lax.cond inside, so windows may contain poseframes; the host
+    retriangulates between windows (FLaME-style stale topology)."""
+    H, W = cam.height, cam.width
+
+    def body(st, inp):
+        row, gt = inp
+        img = row[:H * W].reshape(H, W).astype(jnp.float32)
+        meta = jax.lax.bitcast_convert_type(
+            row[H * W:].reshape(META_LEN, 4), jnp.float32)
+        cur_q = meta[:4]
+        cur_t = meta[4:7]
+        frame_id = meta[7].astype(jnp.int32)
+        is_pf = meta[8] > 0.5
+        kf_slot = meta[9].astype(jnp.int32)
+        img_pyr = build_pyramid(img, NUM_LEVELS)
+        st, status, uv_match, counts_vec, dets = _track_step.__wrapped__(
+            st, img_pyr, cur_q, cur_t, frame_id, kf_slot, is_pf,
+            _ZERO_IMG(cam), cam=cam, params=params, use_truth=False)
+        st, idepth, stats_vec = _smooth_step.__wrapped__(
+            st, img_pyr, cur_q, cur_t, counts_vec, gt,
+            cam=cam, params=params, has_gt=has_gt)
+        return st, (status, uv_match, stats_vec, dets)
+
+    state, (statuses, uv_matches, stats, dets) = jax.lax.scan(
+        body, state, (packed, gt_batch))
+    return state, statuses, uv_matches, stats, dets
 
 
-@partial(jax.jit, static_argnames=("cam", "params", "is_poseframe",
-                                   "use_truth"))
+@partial(jax.jit, static_argnames=("cam", "params", "use_truth"))
 def _track_step(state: EngineState, img_pyr, cur_q, cur_t, frame_id,
-                kf_slot, truth_idepth, *, cam: Pinhole,
-                params: FlameParams, is_poseframe: bool, use_truth: bool):
+                kf_slot, is_poseframe, truth_idepth, *, cam: Pinhole,
+                params: FlameParams, use_truth: bool):
     """Fused device computation up to the (optional) triangulation sync:
-    epipolar update -> graph/feature projection -> on poseframes: keyframe
-    ring insert + detection + free-slot allocation."""
+    epipolar update -> graph/feature projection -> on poseframes (traced
+    lax.cond branch): keyframe ring insert + detection + free-slot
+    allocation. `is_poseframe`, `kf_slot` and `frame_id` are device values
+    so multi-frame windows compile into one executable."""
     eng = params.engine
     trk = params.features.tracking
     det = params.features.detection
@@ -228,14 +258,16 @@ def _track_step(state: EngineState, img_pyr, cur_q, cur_t, frame_id,
     vtx_x = jnp.where(graph_ok, x_proj, z_cur)
     vtx_uv = uv_cur
 
-    kf_q, kf_t = state.kf_q, state.kf_t
-    kf_pyrs = state.kf_pyrs
-    kf_valid, kf_ids = state.kf_valid, state.kf_ids
     counts = dict(res.counts)
-    n_detected = jnp.zeros((), jnp.int32)
+    n_cells = ((cam.height // det.win_size) * (cam.width // det.win_size))
 
-    if is_poseframe:
-        # --- keyframe: ring insert (+ evict features of the old slot) --
+    # --- poseframe branch (traced: lax.cond takes only the live branch,
+    # so whole multi-frame windows compile into ONE dispatch) -----------
+    def _pf_branch(op):
+        feat, vtx_uv, vtx_x = op
+        kf_pyrs, kf_q, kf_t = state.kf_pyrs, state.kf_q, state.kf_t
+        kf_valid, kf_ids = state.kf_valid, state.kf_ids
+        # Keyframe ring insert (+ evict features of the recycled slot).
         evict = feat.valid & (feat.kf_idx == kf_slot) & kf_valid[kf_slot]
         feat = feat._replace(valid=feat.valid & ~evict)
         kf_pyrs = kf_pyrs.at[kf_slot].set(img_pyr)
@@ -244,7 +276,7 @@ def _track_step(state: EngineState, img_pyr, cur_q, cur_t, frame_id,
         kf_valid = kf_valid.at[kf_slot].set(True)
         kf_ids = kf_ids.at[kf_slot].set(frame_id)
 
-        # --- detection -------------------------------------------------
+        # Detection on free grid cells.
         occ = occupancy_from_features(uv_cur, feat.valid & inb,
                                       cam.height, cam.width,
                                       det.win_size)
@@ -253,7 +285,7 @@ def _track_step(state: EngineState, img_pyr, cur_q, cur_t, frame_id,
             min_grad_mag=det.min_grad_mag,
             do_letterbox=params.features.do_letterbox)
 
-        # --- allocation: k-th new detection -> k-th free slot ----------
+        # Allocation: k-th new detection -> k-th free slot.
         free = ~feat.valid
         order = jnp.argsort(feat.valid)          # free slots first (stable)
         det_rank = jnp.cumsum(dvalid.astype(jnp.int32)) - 1
@@ -293,16 +325,30 @@ def _track_step(state: EngineState, img_pyr, cur_q, cur_t, frame_id,
             frame_id=scat(feat.frame_id,
                           jnp.full_like(det_rank, frame_id)),
         )
-        n_detected = jnp.sum(take.astype(jnp.int32))
-        detections = (duv, take)
+        n_det = jnp.sum(take.astype(jnp.int32))
         # New features appear at their own pixel with their init idepth.
         vtx_uv = scat(vtx_uv, duv)
         vtx_x = scat(vtx_x, mu0)
         # (vtx_w rows for new slots are stale; the regularizer re-estimates
         # them within a few sweeps.)
-        uv_cur, z_cur, inb = ep_ops.project_features(
+        uv2, z2, inb2 = ep_ops.project_features(
             feat, kf_q, kf_t, cur_q, cur_t, cam)
-        vtx_uv = jnp.where(feat.valid[:, None], uv_cur, vtx_uv)
+        vtx_uv = jnp.where(feat.valid[:, None], uv2, vtx_uv)
+        return (feat, vtx_uv, vtx_x, kf_pyrs, kf_q, kf_t, kf_valid,
+                kf_ids, uv2, z2, inb2, n_det, duv, take)
+
+    def _no_pf(op):
+        feat, vtx_uv, vtx_x = op
+        return (feat, vtx_uv, vtx_x, state.kf_pyrs, state.kf_q,
+                state.kf_t, state.kf_valid, state.kf_ids,
+                uv_cur, z_cur, inb, jnp.zeros((), jnp.int32),
+                jnp.zeros((n_cells, 2), jnp.float32),
+                jnp.zeros((n_cells,), bool))
+
+    (feat, vtx_uv, vtx_x, kf_pyrs, kf_q, kf_t, kf_valid, kf_ids,
+     uv_cur, z_cur, inb, n_detected, det_uv, det_take) = jax.lax.cond(
+        is_poseframe, _pf_branch, _no_pf, (feat, vtx_uv, vtx_x))
+    detections = (det_uv, det_take)
 
     # --- graph eligibility ---------------------------------------------
     # Height gate (reference min_height/max_height): world-frame height of
@@ -330,9 +376,7 @@ def _track_step(state: EngineState, img_pyr, cur_q, cur_t, frame_id,
         counts["num_fail_max_var"].astype(jnp.float32),
         n_detected.astype(jnp.float32),
     ])
-    if is_poseframe:
-        return new_state, res.status, res.uv_match, counts_vec, detections
-    return new_state, res.status, res.uv_match, counts_vec
+    return new_state, res.status, res.uv_match, counts_vec, detections
 
 
 # Fixed layout of the per-frame device stats vector. ONE small D2H pull
@@ -482,6 +526,7 @@ class Flame:
         # compute; see DEVICE_STATS_KEYS).
         self._dev_status = None
         self._dev_stats = None
+        self._dev_stats_window = None
         self._dev_uv_match = None
         self._dev_detections = None
         self._host_status = None
@@ -504,18 +549,6 @@ class Flame:
         s = self.stats_
         s.tick("update")
         try:
-            with s.scope("frame_creation"):
-                # Async H2D; uint8 inputs transfer 4x cheaper and convert
-                # on device.
-                img_dev = jax.device_put(img_gray)
-                img_pyr = None
-                if self._num_poseframes == 0 or is_poseframe or \
-                        idepths_truth is not None:
-                    img_pyr = build_pyramid(
-                        img_dev.astype(jnp.float32), NUM_LEVELS)
-            cur_q = jnp.asarray(pose.q, jnp.float32)
-            cur_t = jnp.asarray(pose.t, jnp.float32)
-
             first = self._num_poseframes == 0
             is_pf = bool(is_poseframe or first)
             use_truth = idepths_truth is not None
@@ -523,51 +556,130 @@ class Flame:
             gt = (jnp.asarray(gt_depth, jnp.float32) if has_gt
                   else _ZERO_IMG(self.cam))
 
-            if not is_pf and not use_truth:
-                # Steady-state: everything in one dispatch.
-                self.state, status, uv_match, idepth_map, stats_vec = \
-                    _fused_frame_step(
-                        self.state, img_dev, cur_q, cur_t,
-                        jnp.int32(img_id), gt,
-                        cam=self.cam, params=self.params, has_gt=has_gt)
+            if not use_truth:
+                # Single-frame window: one packed H2D, one dispatch.
+                self._dispatch_window(
+                    [(time, img_id, pose, img_gray, is_pf)],
+                    gt[None] if has_gt else None)
             else:
-                truth = (jnp.asarray(idepths_truth, jnp.float32)
-                         if use_truth else _ZERO_IMG(self.cam))
-                with s.scope("update_idepths"):
-                    out = _track_step(
-                        self.state, img_pyr, cur_q, cur_t,
-                        jnp.int32(img_id), jnp.int32(self._kf_slot), truth,
-                        cam=self.cam, params=self.params,
-                        is_poseframe=is_pf, use_truth=use_truth)
-                    if is_pf:
-                        (self.state, status, uv_match, counts_vec,
-                         dets) = out
-                        self._dev_detections = dets
-                    else:
-                        self.state, status, uv_match, counts_vec = out
-
+                with s.scope("frame_creation"):
+                    img_pyr = build_pyramid(
+                        jnp.asarray(img_gray, jnp.float32).astype(
+                            jnp.float32), NUM_LEVELS)
+                cur_q = jnp.asarray(pose.q, jnp.float32)
+                cur_t = jnp.asarray(pose.t, jnp.float32)
+                truth = jnp.asarray(idepths_truth, jnp.float32)
+                kf_slot = self._kf_slot
                 if is_pf:
                     self._num_poseframes += 1
                     self._kf_slot = ((self._kf_slot + 1)
                                      % self.params.engine.max_keyframes)
+                with s.scope("update_idepths"):
+                    (self.state, status, uv_match, counts_vec,
+                     dets) = _track_step(
+                        self.state, img_pyr, cur_q, cur_t,
+                        jnp.int32(img_id), jnp.int32(kf_slot),
+                        jnp.asarray(is_pf), truth,
+                        cam=self.cam, params=self.params,
+                        use_truth=True)
+                    self._dev_detections = dets
+                if is_pf:
                     with s.scope("triangulate"):
                         self._retriangulate()
-
                 with s.scope("sync_graph"):
                     self.state, idepth_map, stats_vec = _smooth_step(
                         self.state, img_pyr, cur_q, cur_t, counts_vec, gt,
                         cam=self.cam, params=self.params, has_gt=has_gt)
-
-            self._dev_status = status
-            self._dev_uv_match = uv_match
-            self._dev_stats = stats_vec
-            self._host_status = None
-            self._frame_count += 1
+                self._dev_status = status
+                self._dev_uv_match = uv_match
+                self._dev_stats = stats_vec
+                self._host_status = None
+                self._frame_count += 1
             return True
         except FloatingPointError:
             return False
         finally:
             s.tock("update")
+
+    def update_window(self, frames, gt_depths=None) -> bool:
+        """Process several frames in ONE device dispatch (one packed H2D).
+
+        frames: list of (time, img_id, pose: SE3, gray uint8/float,
+        is_poseframe) tuples. At most the topology staleness grows by the
+        window length (FLaME already smooths with stale topology between
+        retriangulations). gt_depths: optional [B, H, W] GT depth for
+        device-side evaluation.
+        """
+        if not frames:
+            return True
+        s = self.stats_
+        s.tick("update")
+        try:
+            if self._num_poseframes == 0 and frames:
+                t0, i0, p0, g0, _ = frames[0]
+                frames = [(t0, i0, p0, g0, True)] + list(frames[1:])
+            gt = (jnp.asarray(np.asarray(gt_depths, np.float32))
+                  if gt_depths is not None else None)
+            self._dispatch_window(list(frames), gt)
+            return True
+        except FloatingPointError:
+            return False
+        finally:
+            s.tock("update")
+
+    def _dispatch_window(self, frames, gt_batch):
+        """Pack B frames into one uint8 buffer, dispatch the scan step,
+        then retriangulate if the window contained a poseframe."""
+        H, W = self.cam.height, self.cam.width
+        B = len(frames)
+        packed = np.empty((B, H * W + META_LEN * 4), np.uint8)
+        any_pf = False
+        for b, (time, img_id, pose, gray, is_pf) in enumerate(frames):
+            if is_pf:
+                any_pf = True
+                kf_slot = self._kf_slot
+                self._num_poseframes += 1
+                self._kf_slot = ((self._kf_slot + 1)
+                                 % self.params.engine.max_keyframes)
+            else:
+                kf_slot = 0
+            g = np.asarray(gray)
+            packed[b, :H * W] = (
+                g.ravel() if g.dtype == np.uint8
+                else np.clip(g, 0, 255).astype(np.uint8).ravel())
+            packed[b, H * W:] = pack_frame_meta(
+                np.asarray(pose.q), np.asarray(pose.t), img_id, is_pf,
+                kf_slot)
+        packed_dev = jax.device_put(packed)
+        has_gt = gt_batch is not None
+        if gt_batch is None:
+            gt_batch = jnp.zeros((B, H, W), jnp.float32)
+        (self.state, statuses, uv_matches, stats, dets) = _window_step(
+            self.state, packed_dev, gt_batch,
+            cam=self.cam, params=self.params, has_gt=has_gt)
+        self._dev_status = statuses[-1]
+        self._dev_uv_match = uv_matches[-1]
+        self._dev_stats = stats[-1]
+        self._dev_stats_window = stats
+        self._dev_detections = (dets[0][-1], dets[1][-1])
+        self._host_status = None
+        self._frame_count += B
+        if any_pf:
+            with self.stats_.scope("triangulate"):
+                self._retriangulate()
+
+    def flush_window_stats(self) -> list:
+        """Pull per-frame stats for the whole last window in ONE D2H."""
+        if self._dev_stats_window is None:
+            return [self.flush_stats()] if self._dev_stats is not None \
+                else []
+        arr = np.asarray(self._dev_stats_window)
+        recs = [dict(zip(DEVICE_STATS_KEYS, (float(v) for v in row)))
+                for row in arr]
+        if recs:
+            for k, v in recs[-1].items():
+                self.stats_.set(k, v)
+        return recs
 
     def flush_stats(self) -> dict:
         """Pull the packed per-frame stats vector (ONE small transfer) and

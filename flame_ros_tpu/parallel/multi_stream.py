@@ -93,9 +93,11 @@ def batched_frame_step(states: EngineState, img_pyrs, qs, ts, frame_ids,
 
     def one(state, img_pyr, q, t, fid):
         zero_img = jnp.zeros((cam.height, cam.width), jnp.float32)
-        state, status, uv_match, counts_vec = eng_mod._track_step.__wrapped__(
-            state, img_pyr, q, t, fid, jnp.int32(0), zero_img,
-            cam=cam, params=params, is_poseframe=False, use_truth=False)
+        state, status, uv_match, counts_vec, dets = \
+            eng_mod._track_step.__wrapped__(
+                state, img_pyr, q, t, fid, jnp.int32(0),
+                jnp.asarray(False), zero_img,
+                cam=cam, params=params, use_truth=False)
         state, idepth, stats_vec = eng_mod._smooth_step.__wrapped__(
             state, img_pyr, q, t, counts_vec, zero_img,
             cam=cam, params=params, has_gt=False)

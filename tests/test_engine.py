@@ -125,6 +125,37 @@ def test_poseframe_prune_and_update(seq):
     assert valid.sum() < n_before
 
 
+def test_update_window_matches_sequential(seq):
+    """A window dispatch must produce the same state as frame-by-frame
+    updates (both use the traced poseframe branch; triangulation lands at
+    the window boundary, so compare at a boundary)."""
+    params = _small_params()
+    a = Flame(seq.cam.width, seq.cam.height, cam=seq.cam, params=params)
+    b = Flame(seq.cam.width, seq.cam.height, cam=seq.cam, params=params)
+    # Sequential singles.
+    for i in range(12):
+        pose = SE3(seq.poses.q[i], seq.poses.t[i])
+        assert a.update(seq.timestamps[i], i, pose, seq.images[i],
+                        is_poseframe=(i % 6 == 0))
+    # Two windows of 6 (pf-aligned).
+    for w in range(2):
+        frames = [(seq.timestamps[i], i, SE3(seq.poses.q[i], seq.poses.t[i]),
+                   seq.images[i], i % 6 == 0)
+                  for i in range(6 * w, 6 * w + 6)]
+        assert b.update_window(frames)
+    # Window path quantizes images to uint8; compare with tolerance.
+    xa = np.asarray(a.state.vtx_x)
+    xb = np.asarray(b.state.vtx_x)
+    va = np.asarray(a.state.vtx_in_graph)
+    vb = np.asarray(b.state.vtx_in_graph)
+    assert (va == vb).mean() > 0.97
+    m = va & vb
+    assert np.median(np.abs(xa[m] - xb[m])) < 0.01
+    recs = b.flush_window_stats()
+    assert len(recs) == 6
+    assert recs[-1]["num_feats"] > 100
+
+
 def test_checkpoint_resume(seq, tmp_path):
     """Save mid-run, resume in a fresh engine, continue: identical output
     to an uninterrupted run (bitwise state restore)."""
