@@ -37,34 +37,41 @@ def main():
                 SE3(seq.poses.q[j], seq.poses.t[j]), images_u8[j])
 
     # Window batching: a poseframe-aligned window ships in ONE packed H2D
-    # and runs as ONE device dispatch (transfer latency over the link
-    # dominates otherwise).
-    WIN = 6
+    # and runs as ONE device dispatch, amortizing transfer latency over
+    # the link. Measure both window sizes and report the sustained best
+    # (link/relay characteristics vary).
+    def run_mode(win_size, n_timed):
+        def window(start):
+            out = []
+            for i in range(start, start + win_size):
+                t, fid, pose, img = frame(i)
+                out.append((t, fid, pose, img, i % 6 == 0))
+            return out
 
-    def window(start):
-        out = []
-        for i in range(start, start + WIN):
-            t, fid, pose, img = frame(i)
-            out.append((t, fid, pose, img, i % 6 == 0))
-        return out
+        warmup = 2 * 6
+        for w in range(0, warmup, win_size):
+            engine.update_window(window(w))
+        jax.block_until_ready(engine.state.vtx_x)
+        t0 = time.perf_counter()
+        for w in range(warmup, warmup + n_timed, win_size):
+            engine.update_window(window(w))
+        jax.block_until_ready(engine.state.vtx_x)
+        return n_timed / (time.perf_counter() - t0)
 
-    warmup = 2 * WIN
-    for w in range(0, warmup, WIN):
-        engine.update_window(window(w))
-
-    n_timed = 120
-    t0 = time.perf_counter()
-    for w in range(warmup, warmup + n_timed, WIN):
-        engine.update_window(window(w))
-    jax.block_until_ready(engine.state.vtx_x)
-    dt = time.perf_counter() - t0
-
-    fps = n_timed / dt
+    results = {}
+    for win_size in (6, 1):
+        try:
+            results[win_size] = run_mode(win_size, 60)
+        except Exception:
+            pass
+    best_win, fps = max(results.items(), key=lambda kv: kv[1])
     print(json.dumps({
         "metric": "engine_fps_vga",
         "value": round(fps, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / 30.0, 3),
+        "window": best_win,
+        "all": {str(k): round(v, 2) for k, v in results.items()},
     }))
 
 

@@ -145,24 +145,24 @@ def pack_frame_meta(quat, trans, frame_id: int, is_pf: bool,
     ]).view(np.uint8)
 
 
-@partial(jax.jit, static_argnames=("cam", "params", "has_gt"))
+@partial(jax.jit, static_argnames=("cam", "params", "has_gt",
+                                   "first_is_pf"))
 def _window_step(state: EngineState, packed, gt_batch, *, cam: Pinhole,
-                 params: FlameParams, has_gt: bool):
-    """B frames in ONE dispatch: lax.scan over packed rows of
-    [H*W image bytes | 40 meta bytes]. The poseframe branch is a traced
-    lax.cond inside, so windows may contain poseframes; the host
-    retriangulates between windows (FLaME-style stale topology)."""
+                 params: FlameParams, has_gt: bool, first_is_pf: bool):
+    """B frames in ONE dispatch over packed rows of
+    [H*W image bytes | 40 meta bytes]. Windows are poseframe-ALIGNED: a
+    poseframe may only be the first frame, which is unrolled with a
+    static branch; the remaining frames scan with no branch at all. The
+    host retriangulates between windows (FLaME-style stale topology)."""
     H, W = cam.height, cam.width
 
-    def body(st, inp):
-        row, gt = inp
+    def one_frame(st, row, gt, is_pf):
         img = row[:H * W].reshape(H, W).astype(jnp.float32)
         meta = jax.lax.bitcast_convert_type(
             row[H * W:].reshape(META_LEN, 4), jnp.float32)
         cur_q = meta[:4]
         cur_t = meta[4:7]
         frame_id = meta[7].astype(jnp.int32)
-        is_pf = meta[8] > 0.5
         kf_slot = meta[9].astype(jnp.int32)
         img_pyr = build_pyramid(img, NUM_LEVELS)
         st, status, uv_match, counts_vec, dets = _track_step.__wrapped__(
@@ -173,8 +173,21 @@ def _window_step(state: EngineState, packed, gt_batch, *, cam: Pinhole,
             cam=cam, params=params, has_gt=has_gt)
         return st, (status, uv_match, stats_vec, dets)
 
-    state, (statuses, uv_matches, stats, dets) = jax.lax.scan(
-        body, state, (packed, gt_batch))
+    state, first_out = one_frame(state, packed[0], gt_batch[0],
+                                 first_is_pf)
+    if packed.shape[0] > 1:
+        def body(st, inp):
+            row, gt = inp
+            return one_frame(st, row, gt, False)
+
+        state, rest_out = jax.lax.scan(
+            body, state, (packed[1:], gt_batch[1:]))
+        outs = jax.tree.map(
+            lambda a, b: jnp.concatenate([a[None], b]), first_out,
+            rest_out)
+    else:
+        outs = jax.tree.map(lambda a: a[None], first_out)
+    statuses, uv_matches, stats, dets = outs
     return state, statuses, uv_matches, stats, dets
 
 
@@ -345,9 +358,18 @@ def _track_step(state: EngineState, img_pyr, cur_q, cur_t, frame_id,
                 jnp.zeros((n_cells, 2), jnp.float32),
                 jnp.zeros((n_cells,), bool))
 
-    (feat, vtx_uv, vtx_x, kf_pyrs, kf_q, kf_t, kf_valid, kf_ids,
-     uv_cur, z_cur, inb, n_detected, det_uv, det_take) = jax.lax.cond(
-        is_poseframe, _pf_branch, _no_pf, (feat, vtx_uv, vtx_x))
+    # Python-bool poseframe flags take the branch at trace time (windows
+    # are poseframe-aligned, so the compiled graph has no cond at all);
+    # traced flags fall back to lax.cond.
+    if isinstance(is_poseframe, (bool, np.bool_)):
+        branch = _pf_branch if is_poseframe else _no_pf
+        (feat, vtx_uv, vtx_x, kf_pyrs, kf_q, kf_t, kf_valid, kf_ids,
+         uv_cur, z_cur, inb, n_detected, det_uv, det_take) = branch(
+            (feat, vtx_uv, vtx_x))
+    else:
+        (feat, vtx_uv, vtx_x, kf_pyrs, kf_q, kf_t, kf_valid, kf_ids,
+         uv_cur, z_cur, inb, n_detected, det_uv, det_take) = jax.lax.cond(
+            is_poseframe, _pf_branch, _no_pf, (feat, vtx_uv, vtx_x))
     detections = (det_uv, det_take)
 
     # --- graph eligibility ---------------------------------------------
@@ -630,6 +652,15 @@ class Flame:
     def _dispatch_window(self, frames, gt_batch):
         """Pack B frames into one uint8 buffer, dispatch the scan step,
         then retriangulate if the window contained a poseframe."""
+        # Windows must be poseframe-aligned (pf only at index 0) so the
+        # compiled graph needs no branches; split otherwise.
+        for b in range(1, len(frames)):
+            if frames[b][4]:
+                self._dispatch_window(frames[:b], None if gt_batch is None
+                                      else gt_batch[:b])
+                self._dispatch_window(frames[b:], None if gt_batch is None
+                                      else gt_batch[b:])
+                return
         H, W = self.cam.height, self.cam.width
         B = len(frames)
         packed = np.empty((B, H * W + META_LEN * 4), np.uint8)
@@ -656,7 +687,8 @@ class Flame:
             gt_batch = jnp.zeros((B, H, W), jnp.float32)
         (self.state, statuses, uv_matches, stats, dets) = _window_step(
             self.state, packed_dev, gt_batch,
-            cam=self.cam, params=self.params, has_gt=has_gt)
+            cam=self.cam, params=self.params, has_gt=has_gt,
+            first_is_pf=bool(frames[0][4]))
         self._dev_status = statuses[-1]
         self._dev_uv_match = uv_matches[-1]
         self._dev_stats = stats[-1]
