@@ -28,7 +28,17 @@ def main():
     n_render = 30
     seq = make_sequence(n_frames=n_render, cam=VGA, motion="strafe")
     images_u8 = [np.clip(im, 0, 255).astype(np.uint8) for im in seq.images]
-    params = FlameParams()
+    # Prefer the hand-scheduled Pallas rasterizer on TPU; fall back to the
+    # XLA formulation if the kernel fails to compile on this backend.
+    try:
+        params = FlameParams.from_dict(
+            {"engine": {"use_pallas_raster": True}})
+        engine = Flame(VGA.width, VGA.height, cam=VGA, params=params)
+        engine.update(0.0, 0, SE3(seq.poses.q[0], seq.poses.t[0]),
+                      images_u8[0], True)
+        np.asarray(engine.state.vtx_x[:1])
+    except Exception:
+        params = FlameParams()
     engine = Flame(VGA.width, VGA.height, cam=VGA, params=params)
 
     def frame(i):
@@ -48,14 +58,16 @@ def main():
                 out.append((t, fid, pose, img, i % 6 == 0))
             return out
 
+        # NOTE: force completion by pulling real data — on tunneled PJRT
+        # backends block_until_ready can be a no-op.
         warmup = 2 * 6
         for w in range(0, warmup, win_size):
             engine.update_window(window(w))
-        jax.block_until_ready(engine.state.vtx_x)
+        np.asarray(engine.state.vtx_x[:1])
         t0 = time.perf_counter()
         for w in range(warmup, warmup + n_timed, win_size):
             engine.update_window(window(w))
-        jax.block_until_ready(engine.state.vtx_x)
+        np.asarray(engine.state.vtx_x[:1])
         return n_timed / (time.perf_counter() - t0)
 
     results = {}

@@ -38,14 +38,14 @@ def main():
 
         out = ms.batched_frame_step(batched, img_pyrs, qs, ts, fids,
                                     cam=cam, params=params)
-        jax.block_until_ready(out[1])
+        np.asarray(jax.tree.leaves(out[0])[0])[:1]
         n = 30
         t0 = time.perf_counter()
         st = batched
         for _ in range(n):
             st, idepth, cov = ms.batched_frame_step(
                 st, img_pyrs, qs, ts, fids, cam=cam, params=params)
-        jax.block_until_ready(idepth)
+        np.asarray(idepth[:1, :1, :1])
         dt = time.perf_counter() - t0
         fps = S * n / dt
         results[S] = fps

@@ -746,6 +746,11 @@ class Flame:
             edges_local = edges_from_triangles(tris_local)
             tris_g = idx[tris_local][:T]
             edges_g = idx[edges_local][:E]
+            # Sort triangles by y-extent so the rasterizer's per-block
+            # y-interval culling is effective (blocks become y-coherent).
+            if len(tris_g):
+                ymin = uv[tris_g, 1].min(axis=1)
+                tris_g = tris_g[np.argsort(ymin, kind="stable")]
             tris_pad[:len(tris_g)] = tris_g
             tv[:len(tris_g)] = True
             edges_pad[:len(edges_g)] = edges_g

@@ -1,14 +1,18 @@
 """Pallas TPU kernel for triangle-id rasterization.
 
-Same math as ops/raster.rasterize_tri_ids (MXU edge-function matmuls with
-per-block y-culling) but as a hand-scheduled kernel: the full edge
-coefficient matrix (~150 KB at T=4096) and triangle metadata are pinned in
-VMEM across the whole pixel-tile grid, each grid program owns one
-row-tile of the id buffer, and the block loop runs entirely on-chip — no
-HBM round-trips between blocks, no per-tile re-fetch of coefficients.
+Same math as ops/raster.rasterize_tri_ids (CCW edge-function inside tests
+with per-block y-culling) as a hand-scheduled kernel: triangle edge
+coefficients stay pinned in VMEM across the whole pixel grid, each grid
+program owns a tile of pixels, and the triangle-block loop runs on-chip.
 
-Used on TPU backends; tests exercise it in interpreter mode on CPU and
-check bit-equality with the XLA formulation.
+Mosaic-friendly layout notes: no cross-lane reshapes — pixels are indexed
+as a flat [px, 1] column (iota / div / mod), edge functions are evaluated
+as broadcasted outer products `ux*A + uy*B + C` ([px,1]*[1,B] -> [px,B])
+on the VPU, and the output is a [H*W, 1] column reshaped outside the
+kernel.
+
+Used on TPU backends (EngineParams.use_pallas_raster); tests exercise
+interpreter mode on CPU and check bit-equality with the XLA formulation.
 """
 from __future__ import annotations
 
@@ -20,44 +24,54 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(C_ref, tvalid_ref, ymin_ref, ymax_ref, out_ref, *,
-            row_tile: int, width: int, tri_block: int, n_blocks: int,
-            big: int):
+def _kernel(A_ref, Bc_ref, Cc_ref, tvalid_ref, ymin_ref, ymax_ref,
+            out_ref, *, px_tile: int, width: int, tri_block: int,
+            n_blocks: int, big: int):
     i = pl.program_id(0)
-    y_lo = (i * row_tile).astype(jnp.float32)
-    px = row_tile * width
-    ux = jax.lax.broadcasted_iota(jnp.float32, (row_tile, width), 1)
-    uy = jax.lax.broadcasted_iota(jnp.float32, (row_tile, width), 0) + y_lo
-    P = jnp.stack([ux.reshape(px), uy.reshape(px),
-                   jnp.ones((px,), jnp.float32)], axis=-1)   # [px, 3]
+    row0 = (i * px_tile) // width  # first y-row this tile touches
+    y_lo = jnp.float32(row0)
+    rows_spanned = px_tile // width
+    idx = jax.lax.broadcasted_iota(jnp.int32, (px_tile, 1), 0) \
+        + i * px_tile
+    ux = (idx % width).astype(jnp.float32)
+    uy = (idx // width).astype(jnp.float32)
     eps = jnp.float32(-1e-3)
+    BIG = jnp.int32(big)
 
     def body(k, best):
         def do(best):
-            Cb = C_ref[:, pl.ds(k * (tri_block * 3), tri_block * 3)]
-            E = jnp.dot(P, Cb, preferred_element_type=jnp.float32)
-            E = E.reshape(px, tri_block, 3)
-            tv = tvalid_ref[pl.ds(k * tri_block, tri_block)] > 0
-            inside = (E >= eps).all(-1) & tv[None, :]
+            sl = pl.ds(k * tri_block, tri_block)
+            inside = None
+            for e_ref in (A_ref, Bc_ref, Cc_ref):
+                a = e_ref[0:1, sl]       # [1, B] x-coeff
+                b = e_ref[1:2, sl]       # [1, B] y-coeff
+                c = e_ref[2:3, sl]       # [1, B] const
+                E = ux * a + uy * b + c  # [px, B]
+                cond = E >= eps
+                inside = cond if inside is None else (inside & cond)
+            tv = tvalid_ref[0:1, sl] > 0
+            inside = inside & tv
             ids = (k * tri_block
-                   + jax.lax.broadcasted_iota(jnp.int32, (px, tri_block), 1))
-            cand = jnp.where(inside, ids, big).min(-1)
+                   + jax.lax.broadcasted_iota(jnp.int32,
+                                              (px_tile, tri_block), 1))
+            cand = jnp.min(jnp.where(inside, ids, BIG), axis=1,
+                           keepdims=True)
             return jnp.minimum(best, cand)
 
         overlap = ((ymax_ref[k, 0] >= y_lo)
-                   & (ymin_ref[k, 0] < y_lo + row_tile))
+                   & (ymin_ref[k, 0] < y_lo + rows_spanned))
         return jax.lax.cond(overlap, do, lambda b: b, best)
 
     best = jax.lax.fori_loop(0, n_blocks, body,
-                             jnp.full((px,), big, jnp.int32))
-    out_ref[:, :] = jnp.where(best < big, best, -1).reshape(row_tile, width)
+                             jnp.full((px_tile, 1), BIG, jnp.int32))
+    out_ref[:, :] = jnp.where(best < BIG, best, -1)
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "row_tile",
                                              "tri_block", "interpret"))
 def rasterize_tri_ids_pallas(vtx_pos, tris, tri_valid, *, height: int,
-                             width: int, row_tile: int = 8,
-                             tri_block: int = 256,
+                             width: int, row_tile: int = 4,
+                             tri_block: int = 128,
                              interpret: bool = False):
     """Drop-in Pallas equivalent of raster.rasterize_tri_ids."""
     T = tris.shape[0]
@@ -70,37 +84,47 @@ def rasterize_tri_ids_pallas(vtx_pos, tris, tri_valid, *, height: int,
     c = vtx_pos[tris[:, 2]]
 
     def edge_coeffs(p0, p1):
+        # E(x, y) = -(p1y-p0y) x + (p1x-p0x) y + (p1y-p0y)p0x - (p1x-p0x)p0y
         dy = p1[:, 1] - p0[:, 1]
         dx = p1[:, 0] - p0[:, 0]
-        return jnp.stack([-dy, dx, dy * p0[:, 0] - dx * p0[:, 1]], -1)
+        return jnp.stack([-dy, dx, dy * p0[:, 0] - dx * p0[:, 1]], 0)
 
-    C = jnp.stack([edge_coeffs(a, b), edge_coeffs(b, c),
-                   edge_coeffs(c, a)], -1)
-    C = C.transpose(1, 0, 2).reshape(3, T * 3)
+    # Three [3, T] coefficient planes (one per edge).
+    CA = edge_coeffs(a, b)
+    CB = edge_coeffs(b, c)
+    CC = edge_coeffs(c, a)
     ys = jnp.stack([a[:, 1], b[:, 1], c[:, 1]], -1)
     y_min = jnp.where(tri_valid, ys.min(-1), jnp.inf).reshape(n_blocks, B)
     y_max = jnp.where(tri_valid, ys.max(-1), -jnp.inf).reshape(n_blocks, B)
     blk_ymin = y_min.min(-1).reshape(n_blocks, 1)
     blk_ymax = y_max.max(-1).reshape(n_blocks, 1)
+    tvalid_row = tri_valid.astype(jnp.float32).reshape(1, T)
 
-    n_tiles = height // row_tile
+    px_tile = row_tile * width
+    n_tiles = (height * width) // px_tile
     kernel = functools.partial(
-        _kernel, row_tile=row_tile, width=width, tri_block=B,
+        _kernel, px_tile=px_tile, width=width, tri_block=B,
         n_blocks=n_blocks, big=T + 1)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((3, T * 3), lambda i: (0, 0),
+            pl.BlockSpec((3, T), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, T), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, T), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((n_blocks, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_blocks, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((row_tile, width), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((px_tile, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((height, width), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((height * width, 1), jnp.int32),
         interpret=interpret,
-    )(C, tri_valid.astype(jnp.float32), blk_ymin, blk_ymax)
+    )(CA, CB, CC, tvalid_row, blk_ymin, blk_ymax)
+    return out.reshape(height, width)
