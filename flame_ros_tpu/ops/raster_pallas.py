@@ -24,13 +24,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(A_ref, Bc_ref, Cc_ref, tvalid_ref, ymin_ref, ymax_ref,
+def _kernel(bounds_ref, A_ref, Bc_ref, Cc_ref, tvalid_ref,
             out_ref, *, px_tile: int, width: int, tri_block: int,
-            n_blocks: int, big: int):
+            big: int):
     i = pl.program_id(0)
-    row0 = (i * px_tile) // width  # first y-row this tile touches
-    y_lo = jnp.float32(row0)
-    rows_spanned = px_tile // width
     idx = jax.lax.broadcasted_iota(jnp.int32, (px_tile, 1), 0) \
         + i * px_tile
     ux = (idx % width).astype(jnp.float32)
@@ -39,30 +36,30 @@ def _kernel(A_ref, Bc_ref, Cc_ref, tvalid_ref, ymin_ref, ymax_ref,
     BIG = jnp.int32(big)
 
     def body(k, best):
-        def do(best):
-            sl = pl.ds(k * tri_block, tri_block)
-            inside = None
-            for e_ref in (A_ref, Bc_ref, Cc_ref):
-                a = e_ref[0:1, sl]       # [1, B] x-coeff
-                b = e_ref[1:2, sl]       # [1, B] y-coeff
-                c = e_ref[2:3, sl]       # [1, B] const
-                E = ux * a + uy * b + c  # [px, B]
-                cond = E >= eps
-                inside = cond if inside is None else (inside & cond)
-            tv = tvalid_ref[0:1, sl] > 0
-            inside = inside & tv
-            ids = (k * tri_block
-                   + jax.lax.broadcasted_iota(jnp.int32,
-                                              (px_tile, tri_block), 1))
-            cand = jnp.min(jnp.where(inside, ids, BIG), axis=1,
-                           keepdims=True)
-            return jnp.minimum(best, cand)
+        sl = pl.ds(k * tri_block, tri_block)
+        inside = None
+        for e_ref in (A_ref, Bc_ref, Cc_ref):
+            a = e_ref[0:1, sl]       # [1, B] x-coeff
+            b = e_ref[1:2, sl]       # [1, B] y-coeff
+            c = e_ref[2:3, sl]       # [1, B] const
+            E = ux * a + uy * b + c  # [px, B]
+            cond = E >= eps
+            inside = cond if inside is None else (inside & cond)
+        tv = tvalid_ref[0:1, sl] > 0
+        inside = inside & tv
+        ids = (k * tri_block
+               + jax.lax.broadcasted_iota(jnp.int32,
+                                          (px_tile, tri_block), 1))
+        cand = jnp.min(jnp.where(inside, ids, BIG), axis=1,
+                       keepdims=True)
+        return jnp.minimum(best, cand)
 
-        overlap = ((ymax_ref[k, 0] >= y_lo)
-                   & (ymin_ref[k, 0] < y_lo + rows_spanned))
-        return jax.lax.cond(overlap, do, lambda b: b, best)
-
-    best = jax.lax.fori_loop(0, n_blocks, body,
+    # Triangles are y-sorted, so the blocks touching this tile form a
+    # CONTIGUOUS range precomputed per tile — the loop does exactly the
+    # needed work with no in-kernel branching.
+    lo = bounds_ref[0, 0]
+    hi = bounds_ref[0, 1]
+    best = jax.lax.fori_loop(lo, hi, body,
                              jnp.full((px_tile, 1), BIG, jnp.int32))
     out_ref[:, :] = jnp.where(best < BIG, best, -1)
 
@@ -96,19 +93,40 @@ def rasterize_tri_ids_pallas(vtx_pos, tris, tri_valid, *, height: int,
     ys = jnp.stack([a[:, 1], b[:, 1], c[:, 1]], -1)
     y_min = jnp.where(tri_valid, ys.min(-1), jnp.inf).reshape(n_blocks, B)
     y_max = jnp.where(tri_valid, ys.max(-1), -jnp.inf).reshape(n_blocks, B)
-    blk_ymin = y_min.min(-1).reshape(n_blocks, 1)
-    blk_ymax = y_max.max(-1).reshape(n_blocks, 1)
+    blk_ymin = y_min.min(-1)
+    blk_ymax = y_max.max(-1)
     tvalid_row = tri_valid.astype(jnp.float32).reshape(1, T)
 
     px_tile = row_tile * width
     n_tiles = (height * width) // px_tile
+    # Per-tile contiguous block range [lo, hi): with y-sorted triangles,
+    # blk_ymin is (approximately) nondecreasing; a conservative max-span
+    # pad keeps the bound correct for any residual disorder.
+    tile_y0 = jnp.arange(n_tiles, dtype=jnp.float32) * row_tile
+    tile_y1 = tile_y0 + row_tile
+    span = jnp.max(jnp.where(jnp.isfinite(blk_ymax - blk_ymin),
+                             blk_ymax - blk_ymin, 0.0))
+    # The range trick requires y-sorted triangles (engine topology is;
+    # blk_ymin then is nondecreasing, with +inf padding blocks last).
+    # Unsorted callers fall back to the full block range.
+    mono = jnp.all(blk_ymin[1:] >= blk_ymin[:-1])
+    his = jnp.where(mono,
+                    jnp.searchsorted(blk_ymin, tile_y1, side="right"),
+                    n_blocks)
+    los = jnp.where(mono,
+                    jnp.searchsorted(blk_ymin, tile_y0 - span,
+                                     side="left"),
+                    0)
+    bounds = jnp.stack([los, his], -1).astype(jnp.int32)  # [n_tiles, 2]
+
     kernel = functools.partial(
-        _kernel, px_tile=px_tile, width=width, tri_block=B,
-        n_blocks=n_blocks, big=T + 1)
+        _kernel, px_tile=px_tile, width=width, tri_block=B, big=T + 1)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((3, T), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, T), lambda i: (0, 0),
@@ -117,14 +135,10 @@ def rasterize_tri_ids_pallas(vtx_pos, tris, tri_valid, *, height: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_blocks, 1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_blocks, 1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((px_tile, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((height * width, 1), jnp.int32),
         interpret=interpret,
-    )(CA, CB, CC, tvalid_row, blk_ymin, blk_ymax)
+    )(bounds, CA, CB, CC, tvalid_row)
     return out.reshape(height, width)

@@ -28,6 +28,26 @@ def test_pallas_matches_xla(rng):
     assert (ref >= 0).mean() > 0.5
 
 
+def test_pallas_matches_xla_ysorted(rng):
+    """Engine-style y-sorted triangles exercise the contiguous-block-range
+    culling path; coverage must be identical to the XLA formulation."""
+    pos, tris, tv = _mesh(rng)
+    tp = np.asarray(tris)
+    tvn = np.asarray(tv)
+    posn = np.asarray(pos)
+    ymin = posn[tp, 1].min(axis=1)
+    ymin[~tvn] = 1e9  # padding last
+    order = np.argsort(ymin, kind="stable")
+    tris_s = jnp.asarray(tp[order])
+    tv_s = jnp.asarray(tvn[order])
+    ref = np.asarray(rasterize_tri_ids(pos, tris_s, tv_s,
+                                       height=96, width=128))
+    out = np.asarray(rasterize_tri_ids_pallas(
+        pos, tris_s, tv_s, height=96, width=128, interpret=True))
+    np.testing.assert_array_equal(out, ref)
+    assert (out >= 0).mean() > 0.5
+
+
 def test_pallas_empty_mesh():
     pos = jnp.zeros((16, 2), jnp.float32)
     tris = jnp.zeros((32, 3), jnp.int32)
