@@ -46,6 +46,93 @@ class RunResult:
     stats_path: Optional[str] = None
 
 
+def run_offline_windowed(frames: Iterable, cam, params: FlameParams,
+                         out_dir: Optional[str] = None,
+                         window: int = 6,
+                         max_frames: Optional[int] = None,
+                         save_products: bool = False,
+                         quiet: bool = True) -> RunResult:
+    """Window-batched offline run: each poseframe-aligned window of frames
+    runs as ONE device dispatch with device-side GT evaluation — the
+    high-throughput eval path (telemetry still lands per frame)."""
+    engine = Flame(cam.width, cam.height, cam=cam, params=params)
+    writer = StatsFileWriter(out_dir) if out_dir else None
+    jsonl = open(os.path.join(out_dir, "telemetry.jsonl"), "w") \
+        if out_dir else None
+    pf_every = params.input.poseframe_subsample_factor
+    sub = params.input.subsample_factor
+    res = RunResult()
+    rmses, precs, recs = [], [], []
+    t_start = time_mod.perf_counter()
+    n_proc = 0
+    buf, gts, times = [], [], []
+
+    def flush():
+        nonlocal n_proc
+        if not buf:
+            return
+        has_gt = all(g is not None for g in gts)
+        engine.update_window(buf, np.stack(gts) if has_gt else None)
+        recs_w = engine.flush_window_stats()
+        for (t, fid, _, _, _), rec in zip(buf, recs_w):
+            if has_gt and rec.get("true_pos", -1) >= 0:
+                ts = TruthStats.from_record(rec)
+                rmses.append(ts.rmse)
+                if np.isfinite(ts.precision):
+                    precs.append(ts.precision)
+                if np.isfinite(ts.recall):
+                    recs.append(ts.recall)
+                if writer:
+                    writer.append(n_proc, t, 0.0, int(rec["num_vtx"]),
+                                  int(rec["num_tris"]), ts,
+                                  rec["total_photo_error"],
+                                  rec["avg_photo_error"])
+            if jsonl:
+                rec2 = {"img_id": fid, "timestamp": t, **rec}
+                jsonl.write(json.dumps(rec2) + "\n")
+            n_proc += 1
+        buf.clear()
+        gts.clear()
+
+    for frame in frames:
+        if max_frames is not None and frame.img_id >= max_frames:
+            break
+        if frame.img_id % sub:
+            continue
+        is_pf = (n_proc + len(buf)) % pf_every == 0
+        if is_pf and buf:
+            flush()
+        pose = SE3.from_quat_trans(frame.quat, frame.trans)
+        buf.append((frame.time, frame.img_id, pose, frame.gray, is_pf))
+        gts.append(frame.depth if np.any(frame.depth > 0) else None)
+        if len(buf) >= window:
+            flush()
+    flush()
+
+    res.frames_processed = n_proc
+    res.fps = n_proc / max(time_mod.perf_counter() - t_start, 1e-6)
+    if rmses:
+        res.mean_rmse = float(np.mean(rmses))
+    if precs:
+        res.mean_precision = float(np.mean(precs))
+    if recs:
+        res.mean_recall = float(np.mean(recs))
+    res.final_coverage = float(engine.stats_.stats("coverage"))
+    if writer:
+        res.stats_path = writer.path
+    if jsonl:
+        jsonl.close()
+    if out_dir and save_products:
+        uv, x, normals, tris, keep, edges = engine.get_inverse_depth_mesh()
+        np.savez(os.path.join(out_dir, "final_mesh.npz"),
+                 vertices_px=uv, idepths=x, normals=normals,
+                 triangles=tris, tri_validity=keep, edges=edges,
+                 K=cam.K)
+        np.save(os.path.join(out_dir, "final_idepth.npy"),
+                engine.get_inverse_depth_map())
+    return res
+
+
 def run_offline(frames: Iterable, cam, params: FlameParams,
                 out_dir: Optional[str] = None,
                 pass_in_truth: bool = False,
@@ -217,6 +304,8 @@ def main(argv=None):
                    choices=["qvga", "vga"])
     p.add_argument("--save-products", action="store_true")
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--window", type=int, default=0,
+                   help="batch N frames per device dispatch (0 = per-frame)")
     args = p.parse_args(argv)
     if args.dataset == "tum" and not args.input:
         p.error("--dataset tum requires --input <association file>")
@@ -228,11 +317,19 @@ def main(argv=None):
     frames, cam = _build_frames(args)
     if args.out:
         os.makedirs(args.out, exist_ok=True)
-    res = run_offline(frames, cam, params, out_dir=args.out,
-                      pass_in_truth=args.pass_in_truth, rate=args.rate,
-                      max_frames=args.frames,
-                      save_products=args.save_products,
-                      quiet=not args.verbose)
+    if args.window > 0:
+        if args.pass_in_truth or args.rate > 0:
+            p.error("--window is incompatible with --pass-in-truth/--rate")
+        res = run_offline_windowed(
+            frames, cam, params, out_dir=args.out, window=args.window,
+            max_frames=args.frames, save_products=args.save_products,
+            quiet=not args.verbose)
+    else:
+        res = run_offline(frames, cam, params, out_dir=args.out,
+                          pass_in_truth=args.pass_in_truth, rate=args.rate,
+                          max_frames=args.frames,
+                          save_products=args.save_products,
+                          quiet=not args.verbose)
     summary = {
         "frames": res.frames_processed,
         "failed": res.frames_failed,

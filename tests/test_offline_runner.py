@@ -35,6 +35,31 @@ def test_runner_synthetic_end_to_end(tmp_path, capsys):
     assert np.isfinite(np.load(tmp_path / "final_idepth.npy")).any()
 
 
+def test_runner_windowed(tmp_path, capsys):
+    """--window N: batched dispatch path with device-side GT eval."""
+    res = main(["--dataset", "synthetic", "--frames", "18",
+                "--out", str(tmp_path), "--window", "6"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    summary = json.loads(out)
+    assert summary["frames"] == 18
+    assert summary["idepth_rmse"] is not None
+    assert summary["idepth_rmse"] < 0.15
+    from flame_ros_tpu.eval.metrics import load_stats_file
+    stats = load_stats_file(str(tmp_path / "stats.txt"))
+    # First window has no dense map yet (GT block=-1 rows are skipped);
+    # remaining frames all present.
+    assert len(stats["idx"]) >= 12
+    telemetry = [json.loads(l) for l in open(tmp_path / "telemetry.jsonl")]
+    assert len(telemetry) == 18
+
+
+def test_runner_window_flag_conflicts(tmp_path, capsys):
+    import pytest
+    with pytest.raises(SystemExit):
+        main(["--dataset", "synthetic", "--frames", "6",
+              "--window", "6", "--pass-in-truth"])
+
+
 def test_runner_subsample(tmp_path, capsys):
     main(["--dataset", "synthetic", "--frames", "12",
           "--out", str(tmp_path), "--config", _cfg(tmp_path)])
