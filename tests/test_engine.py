@@ -192,6 +192,33 @@ def test_checkpoint_resume(seq, tmp_path):
         bad.load_checkpoint(ckpt)
 
 
+def test_keyframe_ring_eviction(seq):
+    """When the keyframe ring wraps, features referencing the recycled
+    slot die (reference: features are bound to their origin poseframe)."""
+    params = _small_params()  # max_keyframes=4, pf every 6
+    engine = _run(seq, params, n=18)  # poseframes at 0, 6, 12 -> slots 0..2
+    kf_ids = np.asarray(engine.state.kf_ids)
+    assert set(kf_ids[np.asarray(engine.state.kf_valid)]) == {0, 6, 12}
+    feat_kf = np.asarray(engine.state.feat.kf_idx)
+    valid = np.asarray(engine.state.feat.valid)
+    n_slot0 = int((valid & (feat_kf == 0)).sum())
+    assert n_slot0 > 0
+    # Drive two more poseframes: slot 3 fills, then slot 0 is recycled.
+    for i in range(18, 30):
+        j = i % 18
+        pose = SE3(seq.poses.q[j], seq.poses.t[j])
+        engine.update(seq.timestamps[j] + 1.0, i, pose,
+                      seq.images[j], is_poseframe=(i % 6 == 0))
+    kf_ids2 = np.asarray(engine.state.kf_ids)
+    assert 24 in set(kf_ids2)  # slot 0 recycled to poseframe id 24
+    feat_kf2 = np.asarray(engine.state.feat.kf_idx)
+    valid2 = np.asarray(engine.state.feat.valid)
+    ages = np.asarray(engine.state.feat.frame_id)
+    # No live feature may still reference slot 0 with a pre-recycle age.
+    stale = valid2 & (feat_kf2 == 0) & (ages < 24)
+    assert not stale.any()
+
+
 def test_filtered_idepth_map(seq):
     engine = _run(seq, _small_params(), n=13)
     filt = engine.get_filtered_inverse_depth_map()
