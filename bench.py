@@ -39,7 +39,8 @@ def main():
         np.asarray(engine.state.vtx_x[:1])
     except Exception:
         params = FlameParams()
-    engine = Flame(VGA.width, VGA.height, cam=VGA, params=params)
+    engine = Flame(VGA.width, VGA.height, cam=VGA, params=params,
+                   deferred_triangulation=True)
 
     def frame(i):
         j = i % n_render

@@ -531,7 +531,8 @@ class Flame:
 
     def __init__(self, width: int, height: int, K=None, Kinv=None,
                  params: Optional[FlameParams] = None,
-                 cam: Optional[Pinhole] = None):
+                 cam: Optional[Pinhole] = None,
+                 deferred_triangulation: bool = False):
         if cam is None:
             if K is None:
                 raise ValueError("provide K or cam")
@@ -546,6 +547,11 @@ class Flame:
         # Device handles of the most recent frame's products — pulled to
         # host lazily (D2H over a tunneled link is the bottleneck, not
         # compute; see DEVICE_STATS_KEYS).
+        # Deferred mode: the triangulation round-trip overlaps the next
+        # window's compute (topology staleness grows by one window —
+        # FLaME already smooths over stale topology between poseframes).
+        self.deferred_triangulation = deferred_triangulation
+        self._pending_tri = None
         self._dev_status = None
         self._dev_stats = None
         self._dev_stats_window = None
@@ -649,9 +655,20 @@ class Flame:
         finally:
             s.tock("update")
 
+    def _apply_pending_triangulation(self):
+        """Materialize an async position pull from the previous window and
+        rebuild topology (deferred mode)."""
+        if self._pending_tri is None:
+            return
+        uv_h, eligible_h = self._pending_tri
+        self._pending_tri = None
+        self._apply_topology(np.asarray(uv_h),
+                             np.asarray(eligible_h) > 0.5)
+
     def _dispatch_window(self, frames, gt_batch):
         """Pack B frames into one uint8 buffer, dispatch the scan step,
         then retriangulate if the window contained a poseframe."""
+        self._apply_pending_triangulation()
         # Windows must be poseframe-aligned (pf only at index 0) so the
         # compiled graph needs no branches; split otherwise.
         for b in range(1, len(frames)):
@@ -698,7 +715,10 @@ class Flame:
         self._frame_count += B
         if any_pf:
             with self.stats_.scope("triangulate"):
-                self._retriangulate()
+                if self.deferred_triangulation:
+                    self._schedule_triangulation()
+                else:
+                    self._retriangulate()
 
     def flush_window_stats(self) -> list:
         """Pull per-frame stats for the whole last window in ONE D2H."""
@@ -734,7 +754,24 @@ class Flame:
             [self.state.vtx_uv.reshape(-1),
              self.state.vtx_in_graph.astype(jnp.float32)]))
         uv = buf[:2 * N].reshape(N, 2)
-        idx = np.flatnonzero(buf[2 * N:] > 0.5)
+        self._apply_topology(uv, buf[2 * N:] > 0.5)
+
+    def _schedule_triangulation(self):
+        """Deferred mode: start an async device->host pull of positions;
+        the topology rebuild happens at the next window boundary, hiding
+        the round-trip behind the next window's compute."""
+        uv_h = self.state.vtx_uv
+        el_h = self.state.vtx_in_graph.astype(jnp.float32)
+        try:
+            uv_h.copy_to_host_async()
+            el_h.copy_to_host_async()
+        except Exception:
+            pass  # backend may not support async copies; pull later
+        self._pending_tri = (uv_h, el_h)
+
+    def _apply_topology(self, uv: np.ndarray, eligible: np.ndarray):
+        idx = np.flatnonzero(eligible)
+        N = self.params.engine.max_features
         E = self.params.engine.max_edges
         T = self.params.engine.max_triangles
         tris_pad = np.zeros((T, 3), np.int32)

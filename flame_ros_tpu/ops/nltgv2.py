@@ -213,6 +213,63 @@ def pd_iterate(state: GraphState, top: GraphTopology, z, lam, vtx_valid,
 
     vmask = vtx_valid.astype(state.x.dtype)
 
+    if top.inc_edges is not None:
+        # Packed fast path: primals live as one [V, 3] array (x, w1, w2)
+        # and all loop-invariant incidence gathers hoist out of the sweep,
+        # so one iteration is 2 edge gathers + 1 vertex gather + fused
+        # arithmetic (the sweep runs every frame; op-count is the cost).
+        i = top.edges[:, 0]
+        j = top.edges[:, 1]
+        ev = top.edge_valid[:, None].astype(state.x.dtype)
+        e = top.inc_edges
+        sgn = top.inc_sign
+        live = (sgn != 0).astype(state.x.dtype)
+        tail = (sgn > 0).astype(state.x.dtype)
+        alpha_inc = top.alpha[e] * live
+        dp_inc = top.dp[e] * live[..., None]
+        edge_k1w = jnp.concatenate(
+            [top.alpha[:, None], top.alpha[:, None] * top.dp], -1)  # [E,3]
+        tau_xw = jnp.concatenate([tau_x[:, None], tau_w], -1)       # [V,3]
+        thr = tau_x * lam
+        vm3 = vmask[:, None]
+
+        def pack(x, w):
+            return jnp.concatenate([x[:, None], w], -1)
+
+        xw0 = pack(state.x, state.w)
+        xwb0 = pack(state.x_bar, state.w_bar)
+
+        def body(_, carry):
+            xw, xwb, q = carry
+            pi = xwb[i]                      # [E, 3]
+            pj = xwb[j]
+            k1 = (edge_k1w[:, 0] * (pi[:, 0] - pj[:, 0])
+                  - edge_k1w[:, 1] * pi[:, 1] - edge_k1w[:, 2] * pi[:, 2])
+            kw = top.beta[:, None] * (pi[:, 1:] - pj[:, 1:])
+            Kx = jnp.concatenate([k1[:, None], kw], -1)
+            q = jnp.clip(q + sigma * Kx, -1.0, 1.0) * ev
+            # Adjoint via one packed vertex gather.
+            P = jnp.concatenate([(top.alpha * q[:, 0])[:, None],
+                                 top.beta[:, None] * q[:, 1:]], -1)
+            Pv = P[e]                        # [V, D, 3]
+            gx = jnp.sum(live * sgn * Pv[..., 0], -1)
+            gw = jnp.sum(
+                tail[..., None] * (-Pv[..., 0:1] * dp_inc + Pv[..., 1:])
+                - ((live - tail)[..., None]) * Pv[..., 1:], axis=1)
+            g = jnp.concatenate([gx[:, None], gw], -1)
+            xw_desc = xw - tau_xw * g
+            r = xw_desc[:, 0] - z
+            x_new = z + jnp.sign(r) * jnp.maximum(jnp.abs(r) - thr, 0.0)
+            xw_new = jnp.concatenate([x_new[:, None], xw_desc[:, 1:]], -1)
+            xw_new = vm3 * xw_new + (1 - vm3) * xw
+            xwb = xw_new + theta * (xw_new - xw)
+            return (xw_new, xwb, q)
+
+        xw, xwb, q = jax.lax.fori_loop(0, num_iters, body,
+                                       (xw0, xwb0, state.q))
+        return GraphState(x=xw[:, 0], w=xw[:, 1:], q=q,
+                          x_bar=xwb[:, 0], w_bar=xwb[:, 1:])
+
     def body(_, s: GraphState):
         # Dual ascent + projection onto the L-inf unit ball.
         Kx = _K_apply(top, s.x_bar, s.w_bar)

@@ -162,6 +162,22 @@ def test_update_window_matches_sequential(seq):
     assert recs[-1]["num_feats"] > 100
 
 
+def test_deferred_triangulation(seq):
+    """Deferred mode: topology lands one window late but quality holds."""
+    params = _small_params()
+    eng = Flame(seq.cam.width, seq.cam.height, cam=seq.cam, params=params,
+                deferred_triangulation=True)
+    for w in range(3):
+        frames = [(seq.timestamps[i], i, SE3(seq.poses.q[i], seq.poses.t[i]),
+                   seq.images[i], i % 6 == 0)
+                  for i in range(6 * w, 6 * w + 6)]
+        assert eng.update_window(frames)
+    est, gt, m = _dense_err(eng, seq, 17)
+    assert m.mean() > 0.3
+    err = np.abs(est - gt)[m]
+    assert np.median(err) < 0.03, f"median {np.median(err)}"
+
+
 def test_checkpoint_resume(seq, tmp_path):
     """Save mid-run, resume in a fresh engine, continue: identical output
     to an uninterrupted run (bitwise state restore)."""
