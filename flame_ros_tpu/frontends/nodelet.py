@@ -349,8 +349,7 @@ class FlameNodelet:
 
 
 def main(argv=None):
-    """Minimal live server: reads framed numpy messages from stdin (or a
-    socket in future rounds) — placeholder CLI for the streaming mode."""
-    raise SystemExit(
-        "flame-serve: use FlameNodelet programmatically; network transport "
-        "lands in a future revision")
+    """Deprecated entry: the network streaming server lives in
+    flame_ros_tpu.frontends.serve."""
+    from flame_ros_tpu.frontends.serve import main as serve_main
+    return serve_main(argv)

@@ -173,20 +173,16 @@ def _window_step(state: EngineState, packed, gt_batch, *, cam: Pinhole,
             cam=cam, params=params, has_gt=has_gt)
         return st, (status, uv_match, stats_vec, dets)
 
-    state, first_out = one_frame(state, packed[0], gt_batch[0],
-                                 first_is_pf)
-    if packed.shape[0] > 1:
-        def body(st, inp):
-            row, gt = inp
-            return one_frame(st, row, gt, False)
-
-        state, rest_out = jax.lax.scan(
-            body, state, (packed[1:], gt_batch[1:]))
-        outs = jax.tree.map(
-            lambda a, b: jnp.concatenate([a[None], b]), first_out,
-            rest_out)
-    else:
-        outs = jax.tree.map(lambda a: a[None], first_out)
+    B = packed.shape[0]
+    # Unroll: B is small and static; an unrolled graph lets XLA fuse
+    # across frames (lax.scan adds carry copies and blocks fusion — it
+    # measured slower per frame than unrolled single dispatches).
+    frame_outs = []
+    for b in range(B):
+        state, out_b = one_frame(state, packed[b], gt_batch[b],
+                                 first_is_pf if b == 0 else False)
+        frame_outs.append(out_b)
+    outs = jax.tree.map(lambda *xs: jnp.stack(xs), *frame_outs)
     statuses, uv_matches, stats, dets = outs
     return state, statuses, uv_matches, stats, dets
 
