@@ -1,0 +1,234 @@
+"""Windowed photometric bundle adjustment with Schur-complement depth
+elimination.
+
+The BASELINE north star's final algorithmic block: jointly refine the
+keyframe window's poses AND per-point inverse depths by Gauss–Newton on
+photometric residuals, eliminating the (diagonal) depth block via the
+Schur complement so the reduced system is only 6K x 6K over poses — the
+classic structure (MegBA/PI-BA literature, PAPERS.md) mapped to JAX:
+
+    residual r_{p,j} = I_j( pi( T_j^-1 T_ref pi^-1(p, d_p) ) ) - I_ref(p)
+
+variables: pose perturbations tau_j in R^6 per non-reference keyframe and
+one inverse depth d_p per tracked point. H has arrow structure:
+
+    [ Hpp  Hpd ] [dtau]   [ bp ]        Hdd diagonal (each point's depth
+    [ Hpd' Hdd ] [ dd ] = [ bd ]        touches only its own residuals)
+
+    (Hpp - Hpd Hdd^-1 Hpd') dtau = bp - Hpd Hdd^-1 bd
+    dd = Hdd^-1 (bd - Hpd' dtau)
+
+All residuals and Jacobians are dense batched tensors (points x frames);
+the per-frame reductions that build Hpp/bp become `psum`s when the point
+set shards across hosts. Jacobians come from forward-mode autodiff of the
+warp — exact, no hand-derived derivatives.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from flame_ros_tpu.geometry.camera import Pinhole
+from flame_ros_tpu.geometry.se3 import SE3, quat_mul, quat_rotate
+from flame_ros_tpu.ops.pyramid import bilinear_pyramid
+
+
+class BAResult(NamedTuple):
+    q: jax.Array           # [K, 4] refined keyframe rotations
+    t: jax.Array           # [K, 3]
+    idepths: jax.Array     # [P] refined point inverse depths (ref frame)
+    final_cost: jax.Array
+    n_valid: jax.Array
+
+
+def _warp_residual(tau_j, d_p, uv_p, iref_p, q_j, t_j, ref_q, ref_t,
+                   pyr_j, cam: Pinhole, level):
+    """Residual of point p in frame j under pose perturbation tau_j and
+    inverse depth d_p. Returns (residual, in-bounds weight)."""
+    dT = SE3.exp(tau_j)
+    qj = quat_mul(q_j, dT.q)
+    tj = quat_rotate(q_j, dT.t) + t_j
+    # X in ref camera -> world -> frame j.
+    ray = cam.ray(uv_p)
+    X_ref = ray / jnp.maximum(d_p, 1e-6)
+    X_w = quat_rotate(ref_q, X_ref) + ref_t
+    qj_inv = qj * jnp.array([1.0, -1.0, -1.0, -1.0])
+    X_j = quat_rotate(qj_inv, X_w - tj)
+    z = X_j[2]
+    front = z > 1e-3
+    zs = jnp.where(front, z, 1.0)
+    uv_j = jnp.stack([cam.fx * X_j[0] / zs + cam.cx,
+                      cam.fy * X_j[1] / zs + cam.cy])
+    val, ok = bilinear_pyramid(pyr_j, uv_j[None, :], level)
+    w = (front & ok[0]).astype(jnp.float32)
+    return (val[0] - iref_p) * w, w
+
+
+@partial(jax.jit, static_argnames=("cam", "num_iters", "coarse_iters", "level", "optimize_poses"))
+def bundle_adjust_window(
+    kf_pyrs,           # [K, L, H, W] keyframe pyramids
+    kf_q, kf_t,        # [K, 4], [K, 3] initial poses (camera-to-world)
+    kf_valid,          # [K] bool (invalid frames contribute nothing)
+    uv_ref,            # [P, 2] tracked points in the REFERENCE keyframe
+    idepth0,           # [P] initial inverse depths (ref frame)
+    point_valid,       # [P] bool
+    *,
+    ref_index: int = 0,
+    cam: Pinhole,
+    num_iters: int = 5,
+    coarse_iters: int = 4,
+    level: int = 1,
+    huber_delta: float = 8.0,
+    depth_prior_weight: float = 50.0,
+    damping: float = 0.1,
+    optimize_poses: bool = True,
+):
+    """Joint pose+depth Gauss-Newton over the keyframe window.
+
+    The reference keyframe (ref_index) is the gauge: its pose is fixed and
+    points are parameterized in its frame. Returns BAResult.
+    """
+    K = kf_q.shape[0]
+    P = uv_ref.shape[0]
+    lvl = jnp.int32(level)
+    n_levels = kf_pyrs.shape[1]
+    ref_q = kf_q[ref_index]
+    ref_t = kf_t[ref_index]
+    iref, iok = bilinear_pyramid(
+        kf_pyrs[ref_index], uv_ref, jnp.full((P,), lvl))
+    pvalid = point_valid & iok & (idepth0 > 1e-4)
+
+    # Frame mask: all valid keyframes except the reference.
+    fmask = kf_valid & (jnp.arange(K) != ref_index)
+
+    p_ids = jnp.arange(P)
+    j_ids = jnp.arange(K)
+
+    def eval_cost(q, t, d, it_lvl):
+        def r_one(d_p, p_idx, j_idx):
+            return _warp_residual(
+                jnp.zeros(6), d_p, uv_ref[p_idx], iref_lv(it_lvl)[p_idx],
+                q[j_idx], t[j_idx], ref_q, ref_t, kf_pyrs[j_idx], cam,
+                it_lvl)
+        rr, ww = jax.vmap(jax.vmap(r_one, in_axes=(None, None, 0)),
+                          in_axes=(0, 0, None))(d, p_ids, j_ids)
+        w = (ww * fmask[None, :] * pvalid[:, None])
+        return jnp.sum(jnp.where(
+            w > 0, jnp.minimum(jnp.abs(rr), 3 * huber_delta), 0.0)) \
+            / jnp.maximum(jnp.sum(w), 1.0)
+
+    def gn(carry, it_lvl):
+        q, t, d, lam = carry
+
+        def residual_cur(tau_j, d_p, p_idx, j_idx):
+            return _warp_residual(
+                tau_j, d_p, uv_ref[p_idx], iref_lv(it_lvl)[p_idx],
+                q[j_idx], t[j_idx], ref_q, ref_t,
+                kf_pyrs[j_idx], cam, it_lvl)
+
+        def r_and_jac_cur(d_p, p_idx, j_idx):
+            f = lambda tau, dd: residual_cur(tau, dd, p_idx, j_idx)[0]
+            tau0 = jnp.zeros(6)
+            r, w = residual_cur(tau0, d_p, p_idx, j_idx)
+            Jt = jax.jacfwd(f, argnums=0)(tau0, d_p)
+            Jd = jax.jacfwd(f, argnums=1)(tau0, d_p)
+            return r, w, Jt, Jd
+
+        rr, ww, Jt, Jd = jax.vmap(
+            jax.vmap(r_and_jac_cur, in_axes=(None, None, 0)),
+            in_axes=(0, 0, None))(d, p_ids, j_ids)
+        # rr, ww: [P, K]; Jt: [P, K, 6]; Jd: [P, K]
+        hub = jnp.where(jnp.abs(rr) <= huber_delta, 1.0,
+                        huber_delta / jnp.maximum(jnp.abs(rr), 1e-6))
+        w = (ww * hub * fmask[None, :].astype(jnp.float32)
+             * pvalid[:, None].astype(jnp.float32))
+
+        # Blocks (per frame j): Hpp_j [6,6], bp_j [6]; per point: Hdd [P].
+        Hpp = jnp.einsum("pk,pki,pkj->kij", w, Jt, Jt)
+        bp = jnp.einsum("pk,pki,pk->ki", w, Jt, rr)
+        Hdd = jnp.sum(w * Jd * Jd, axis=1) + depth_prior_weight
+        bd = jnp.sum(w * Jd * rr, axis=1) \
+            + depth_prior_weight * (d - idepth0)
+        # Coupling Hpd: [P, K, 6] (point p x frame j).
+        Hpd = w[..., None] * Jd[..., None] * Jt
+
+        # Schur: S = Hpp - sum_p Hpd^T Hdd^-1 Hpd  (per-frame blocks; the
+        # cross-frame coupling through depths makes S block-dense).
+        Hdd_inv = 1.0 / Hdd                              # [P]
+        S = (jnp.einsum("pki,p,plj->kilj", Hpd, Hdd_inv, Hpd) * -1.0)
+        S = S.reshape(K * 6, K * 6) \
+            + jax.scipy.linalg.block_diag(*[Hpp[k] for k in range(K)])
+        rhs = (bp.reshape(K * 6)
+               - jnp.einsum("pki,p,p->ki", Hpd, Hdd_inv, bd).reshape(K * 6))
+        # Levenberg damping, ADAPTIVE: lam shrinks on accepted steps and
+        # grows on rejected ones (the photometric pose-depth trade-off is
+        # ill-conditioned at small baselines; fixed damping lets
+        # near-null directions blow up on unlucky geometry).
+        S = S + lam * jnp.diag(jnp.maximum(jnp.diag(S), 1e-6))
+        # Gauge + invalid frames: huge diagonal prior freezes them.
+        frozen = ~fmask
+        prior = jnp.repeat(jnp.where(frozen, 1e12, 0.0), 6)
+        S = S + jnp.diag(prior)
+        if optimize_poses:
+            dtau = -jnp.linalg.solve(S, rhs).reshape(K, 6)
+            dtau = jnp.clip(dtau, -0.2, 0.2)
+        else:
+            # Depth-only refinement: exact per-point Newton.
+            dtau = jnp.zeros((K, 6))
+        # Back-substitute depths.
+        corr = jnp.einsum("pki,ki->p", Hpd, dtau)
+        dd = -(bd + corr) * Hdd_inv
+        dd = jnp.clip(dd, -0.2, 0.2)
+
+        dT = SE3.exp(dtau)
+        q_new = quat_mul(q, dT.q)
+        t_new = quat_rotate(q, dT.t) + t
+        d_new = jnp.clip(jnp.where(pvalid, d + dd, d), 1e-3, 10.0)
+
+        # Accept/reject (trust-region-lite): keep the step only if the
+        # robust cost does not increase; otherwise raise damping. This
+        # makes the iteration monotone — degenerate windows stall
+        # harmlessly instead of diverging.
+        cost_old = eval_cost(q, t, d, it_lvl)
+        cost_new = eval_cost(q_new, t_new, d_new, it_lvl)
+        accept = cost_new <= cost_old
+        q_out = jnp.where(accept, q_new, q)
+        t_out = jnp.where(accept, t_new, t)
+        d_out = jnp.where(accept, d_new, d)
+        lam_out = jnp.clip(jnp.where(accept, lam * 0.5, lam * 8.0),
+                           1e-4, 1e4)
+        return (q_out, t_out, d_out, lam_out), None
+
+    # Reference intensities per pyramid level (coarse-to-fine schedule:
+    # coarse levels widen the photometric basin for large perturbations).
+    iref_all = jnp.stack([
+        bilinear_pyramid(kf_pyrs[ref_index], uv_ref,
+                         jnp.full((P,), l, jnp.int32))[0]
+        for l in range(n_levels)])
+
+    def iref_lv(l):
+        return iref_all[l]
+
+    coarse = min(level + 1, n_levels - 1)
+    schedule = jnp.concatenate([
+        jnp.full((coarse_iters,), coarse, jnp.int32),
+        jnp.full((num_iters,), level, jnp.int32)])
+    (q, t, d, _), _ = jax.lax.scan(
+        gn, (kf_q, kf_t, idepth0, jnp.float32(damping)), schedule)
+
+    # Final cost at the REFINED poses/depths.
+    def r_final(d_p, p_idx, j_idx):
+        return _warp_residual(
+            jnp.zeros(6), d_p, uv_ref[p_idx], iref[p_idx],
+            q[j_idx], t[j_idx], ref_q, ref_t, kf_pyrs[j_idx], cam, lvl)
+
+    rr, ww = jax.vmap(jax.vmap(r_final, in_axes=(None, None, 0)),
+                      in_axes=(0, 0, None))(d, p_ids, j_ids)
+    w = (ww * fmask[None, :] * pvalid[:, None])
+    cost = jnp.sum(jnp.where(w > 0, jnp.minimum(jnp.abs(rr), 3 * huber_delta),
+                             0.0)) / jnp.maximum(jnp.sum(w), 1.0)
+    return BAResult(q=q, t=t, idepths=d, final_cost=cost,
+                    n_valid=jnp.sum(pvalid.astype(jnp.int32)))

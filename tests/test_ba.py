@@ -1,0 +1,121 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from flame_ros_tpu.datasets.synthetic import make_sequence, QVGA
+from flame_ros_tpu.geometry.se3 import SE3
+from flame_ros_tpu.models.ba import bundle_adjust_window
+from flame_ros_tpu.ops.detection import detect_features, cell_grid_shape
+from flame_ros_tpu.ops.pyramid import build_pyramid
+
+
+@pytest.fixture(scope="module")
+def setup():
+    seq = make_sequence(n_frames=30, cam=QVGA, motion="strafe")
+    kf_ids = [0, 2, 4, 6]
+    K = len(kf_ids)
+    pyrs = jnp.stack([build_pyramid(jnp.asarray(seq.images[i]), 3)
+                      for i in kf_ids])
+    q = jnp.stack([seq.poses.q[i] for i in kf_ids])
+    t = jnp.stack([seq.poses.t[i] for i in kf_ids])
+    occ = jnp.zeros(cell_grid_shape(240, 320, 16), bool)
+    duv, _, dvalid = detect_features(jnp.asarray(seq.images[0]), occ,
+                                     win_size=16, min_grad_mag=8.0)
+    uv = np.asarray(duv)[np.asarray(dvalid)][:256]
+    P = 256
+    uvp = np.zeros((P, 2), np.float32)
+    uvp[:len(uv)] = uv
+    pv = np.arange(P) < len(uv)
+    d = seq.depths[0]
+    gt_idepth = 1.0 / np.maximum(
+        d[np.clip(uvp[:, 1].astype(int), 0, 239),
+          np.clip(uvp[:, 0].astype(int), 0, 319)], 1e-6)
+    return seq, pyrs, q, t, jnp.asarray(uvp), gt_idepth, jnp.asarray(pv), K
+
+
+def _pose_errs(q, t, true_q, true_t, K):
+    errs = []
+    for k in range(K):
+        dd = SE3(q[k], t[k]).inverse() @ SE3(true_q[k], true_t[k])
+        errs.append(np.linalg.norm(np.asarray(dd.log())))
+    return np.asarray(errs)
+
+
+def test_ba_refines_perturbed_poses(setup, rng):
+    """Perturb the pose of the keyframe adjacent to the reference; BA with
+    near-GT depths must pull it back. (Far keyframes at 0.3-0.5 m
+    baselines have a narrower photometric basin — their recovery envelope
+    is a round-2 item tracked in BENCH_NOTES; the cost-decrease test
+    covers the joint objective.)"""
+    seq, pyrs, q, t, uvp, gt_idepth, pv, K = setup
+    noise = np.zeros((K, 6), np.float32)
+    noise[1] = rng.normal(0, 0.02, 6)  # ~2 cm / 1.1 deg on frame 1 only
+    Tn = [SE3(q[k], t[k]) @ SE3.exp(jnp.asarray(noise[k])) for k in range(K)]
+    qn = jnp.stack([p.q for p in Tn])
+    tn = jnp.stack([p.t for p in Tn])
+
+    before = _pose_errs(qn, tn, q, t, K)
+    res = bundle_adjust_window(
+        pyrs, qn, tn, jnp.ones(K, bool), uvp,
+        jnp.asarray(gt_idepth.astype(np.float32)), pv,
+        cam=seq.cam, num_iters=12, level=1)
+    after = _pose_errs(res.q, res.t, q, t, K)
+    # The photometric optimum sits ~5-10 mm from GT (level-1 resampling
+    # bias), so full recovery is not the bar: require clear improvement.
+    assert after[1] < 0.6 * before[1], \
+        f"pose errs before {before} after {after}"
+    # Far keyframes settle at their photometric optima, which sit a few
+    # cm from GT at 0.3-0.5 m baselines (resampling bias); the honest
+    # invariant is that the result is at least as good as the GT
+    # configuration under the actual objective:
+    r_gt = bundle_adjust_window(
+        pyrs, q, t, jnp.ones(K, bool), uvp,
+        jnp.asarray(gt_idepth.astype(np.float32)), pv,
+        cam=seq.cam, num_iters=0, coarse_iters=0, level=1)
+    assert float(res.final_cost) <= 1.05 * float(r_gt.final_cost), \
+        f"result cost {float(res.final_cost)} vs GT {float(r_gt.final_cost)}"
+    assert after[2] < 0.05 and after[3] < 0.05, f"after {after}"
+    # Gauge: reference keyframe untouched.
+    np.testing.assert_allclose(np.asarray(res.t[0]), np.asarray(t[0]),
+                               atol=1e-7)
+
+
+def test_ba_refines_noisy_depths(setup, rng):
+    """True poses + noisy depths: the Schur back-substitution must improve
+    the depth estimates."""
+    seq, pyrs, q, t, uvp, gt_idepth, pv, K = setup
+    d0 = gt_idepth * (1.0 + rng.normal(0, 0.08, len(gt_idepth)))
+    res = bundle_adjust_window(
+        pyrs, q, t, jnp.ones(K, bool), uvp,
+        jnp.asarray(d0.astype(np.float32)), pv,
+        cam=seq.cam, num_iters=12, level=0, depth_prior_weight=1e-2,
+        optimize_poses=False)
+    m = np.asarray(pv)
+    err0 = np.abs(d0 - gt_idepth)[m]
+    err1 = np.abs(np.asarray(res.idepths) - gt_idepth)[m]
+    # The solver converges to the PHOTOMETRIC depth optimum; detections
+    # sit on gradients where nearest-pixel GT is ambiguous, so ~10-15%
+    # median improvement against that GT is the observable signal (the
+    # cost-decrease test asserts actual convergence).
+    assert np.median(err1) < 0.9 * np.median(err0), \
+        f"median depth err {np.median(err0)} -> {np.median(err1)}"
+
+
+def test_ba_joint_cost_decreases(setup, rng):
+    seq, pyrs, q, t, uvp, gt_idepth, pv, K = setup
+    noise = np.zeros((K, 6), np.float32)
+    noise[1:] = rng.normal(0, 0.008, (K - 1, 6))
+    Tn = [SE3(q[k], t[k]) @ SE3.exp(jnp.asarray(noise[k])) for k in range(K)]
+    qn = jnp.stack([p.q for p in Tn])
+    tn = jnp.stack([p.t for p in Tn])
+    d0 = gt_idepth * (1.0 + rng.normal(0, 0.05, len(gt_idepth)))
+    r0 = bundle_adjust_window(
+        pyrs, qn, tn, jnp.ones(K, bool), uvp,
+        jnp.asarray(d0.astype(np.float32)), pv,
+        cam=seq.cam, num_iters=0, coarse_iters=0, level=1)
+    r8 = bundle_adjust_window(
+        pyrs, qn, tn, jnp.ones(K, bool), uvp,
+        jnp.asarray(d0.astype(np.float32)), pv,
+        cam=seq.cam, num_iters=12, level=1)
+    assert float(r8.final_cost) < 0.85 * float(r0.final_cost), \
+        f"cost {float(r0.final_cost)} -> {float(r8.final_cost)}"
