@@ -51,7 +51,7 @@ def main():
     # and runs as ONE device dispatch, amortizing transfer latency over
     # the link. Measure both window sizes and report the sustained best
     # (link/relay characteristics vary).
-    def run_mode(win_size, n_timed):
+    def run_mode(win_size, n_timed, prefetch=False):
         def window(start):
             out = []
             for i in range(start, start + win_size):
@@ -62,21 +62,38 @@ def main():
         # NOTE: force completion by pulling real data — on tunneled PJRT
         # backends block_until_ready can be a no-op.
         warmup = 2 * 6
-        for w in range(0, warmup, win_size):
-            engine.update_window(window(w))
-        np.asarray(engine.state.vtx_x[:1])
-        t0 = time.perf_counter()
-        for w in range(warmup, warmup + n_timed, win_size):
-            engine.update_window(window(w))
+        starts = list(range(0, warmup + n_timed, win_size))
+        n_warm_w = warmup // win_size
+        if prefetch:
+            # Double-buffered H2D: window w+1 uploads on a background
+            # thread while window w computes (engine.prefetch_window).
+            pre = engine.prefetch_window(window(starts[0]))
+            t0 = None
+            for k, w in enumerate(starts):
+                if k == n_warm_w:
+                    np.asarray(engine.state.vtx_x[:1])
+                    t0 = time.perf_counter()
+                nxt = (engine.prefetch_window(window(starts[k + 1]))
+                       if k + 1 < len(starts) else None)
+                engine.update_window(prefetched=pre)
+                pre = nxt
+        else:
+            t0 = None
+            for k, w in enumerate(starts):
+                if k == n_warm_w:
+                    np.asarray(engine.state.vtx_x[:1])
+                    t0 = time.perf_counter()
+                engine.update_window(window(w))
         np.asarray(engine.state.vtx_x[:1])
         return n_timed / (time.perf_counter() - t0)
 
     results = {}
-    for win_size in (6, 1):
+    for key, win_size, prefetch in (("6p", 6, True), ("6", 6, False),
+                                    ("1", 1, False)):
         try:
-            results[win_size] = run_mode(win_size, 60)
+            results[key] = run_mode(win_size, 60, prefetch)
         except Exception:
-            pass
+            engine._prefetch_issued.clear()  # abandon half-issued uploads
     best_win, fps = max(results.items(), key=lambda kv: kv[1])
     print(json.dumps({
         "metric": "engine_fps_vga",

@@ -23,6 +23,7 @@ TPU-first:
 """
 from __future__ import annotations
 
+from collections import deque
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -548,6 +549,11 @@ class Flame:
         # FLaME already smooths over stale topology between poseframes).
         self.deferred_triangulation = deferred_triangulation
         self._pending_tri = None
+        # Double-buffered H2D: prefetch_window() packs a future window and
+        # starts its upload on this single worker thread so link latency
+        # overlaps the in-flight window's compute (high-latency links).
+        self._h2d_pool = None
+        self._prefetch_issued = deque()
         self._dev_status = None
         self._dev_stats = None
         self._dev_stats_window = None
@@ -581,10 +587,16 @@ class Flame:
                   else _ZERO_IMG(self.cam))
 
             if not use_truth:
+                if self._prefetch_issued:
+                    raise RuntimeError("outstanding prefetched windows; "
+                                       "consume them first")
                 # Single-frame window: one packed H2D, one dispatch.
-                self._dispatch_window(
-                    [(time, img_id, pose, img_gray, is_pf)],
-                    gt[None] if has_gt else None)
+                [(packed, seg_gt, first_is_pf, any_pf, B)] = \
+                    self._pack_segments(
+                        [(time, img_id, pose, img_gray, is_pf)],
+                        gt[None] if has_gt else None)
+                self._dispatch_packed(jax.device_put(packed), seg_gt,
+                                      first_is_pf, any_pf, B)
             else:
                 with s.scope("frame_creation"):
                     img_pyr = build_pyramid(
@@ -625,7 +637,8 @@ class Flame:
         finally:
             s.tock("update")
 
-    def update_window(self, frames, gt_depths=None) -> bool:
+    def update_window(self, frames=None, gt_depths=None,
+                      prefetched=None) -> bool:
         """Process several frames in ONE device dispatch (one packed H2D).
 
         frames: list of (time, img_id, pose: SE3, gray uint8/float,
@@ -633,23 +646,81 @@ class Flame:
         window length (FLaME already smooths with stale topology between
         retriangulations). gt_depths: optional [B, H, W] GT depth for
         device-side evaluation.
+
+        prefetched: a handle from `prefetch_window` — the window's packed
+        buffer is already uploading on a background thread; this call only
+        waits for the transfer and dispatches compute. Handles must be
+        consumed in issue order.
         """
-        if not frames:
+        if prefetched is None and not frames:
             return True
         s = self.stats_
         s.tick("update")
         try:
-            if self._num_poseframes == 0 and frames:
-                t0, i0, p0, g0, _ = frames[0]
-                frames = [(t0, i0, p0, g0, True)] + list(frames[1:])
-            gt = (jnp.asarray(np.asarray(gt_depths, np.float32))
-                  if gt_depths is not None else None)
-            self._dispatch_window(list(frames), gt)
+            if prefetched is not None:
+                if (not self._prefetch_issued
+                        or self._prefetch_issued[0] is not prefetched):
+                    raise RuntimeError(
+                        "prefetched windows must be consumed in issue "
+                        "order, with no other updates interleaved")
+                self._prefetch_issued.popleft()
+                for fut, gfut, first_is_pf, any_pf, B in prefetched:
+                    self._dispatch_packed(fut.result(),
+                                          gfut.result() if gfut else None,
+                                          first_is_pf, any_pf, B)
+                return True
+            if self._prefetch_issued:
+                raise RuntimeError(
+                    "outstanding prefetched windows; consume them first")
+            frames = self._force_first_poseframe(list(frames))
+            gt_np = (np.asarray(gt_depths, np.float32)
+                     if gt_depths is not None else None)
+            for packed, seg_gt, first_is_pf, any_pf, B in \
+                    self._pack_segments(frames, gt_np):
+                self._dispatch_packed(
+                    jax.device_put(packed),
+                    jax.device_put(seg_gt) if seg_gt is not None else None,
+                    first_is_pf, any_pf, B)
             return True
         except FloatingPointError:
             return False
         finally:
             s.tock("update")
+
+    def prefetch_window(self, frames, gt_depths=None):
+        """Pack a FUTURE window and start its H2D upload on a background
+        thread, overlapping link latency with the in-flight window's
+        compute (double-buffered upload for high-latency links).
+
+        Returns a handle for `update_window(prefetched=...)`. Poseframe
+        bookkeeping commits at pack time, so prefetched windows MUST be
+        consumed in issue order with no other update()/update_window()
+        calls interleaved.
+        """
+        if not frames:
+            return None
+        if self._h2d_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._h2d_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="flame-h2d")
+        frames = self._force_first_poseframe(list(frames))
+        gt_np = (np.asarray(gt_depths, np.float32)
+                 if gt_depths is not None else None)
+        handle = []
+        for packed, seg_gt, first_is_pf, any_pf, B in \
+                self._pack_segments(frames, gt_np):
+            fut = self._h2d_pool.submit(jax.device_put, packed)
+            gfut = (self._h2d_pool.submit(jax.device_put, seg_gt)
+                    if seg_gt is not None else None)
+            handle.append((fut, gfut, first_is_pf, any_pf, B))
+        self._prefetch_issued.append(handle)
+        return handle
+
+    def _force_first_poseframe(self, frames):
+        if self._num_poseframes == 0 and frames:
+            t0, i0, p0, g0, _ = frames[0]
+            frames = [(t0, i0, p0, g0, True)] + frames[1:]
+        return frames
 
     def _apply_pending_triangulation(self):
         """Materialize an async position pull from the previous window and
@@ -661,47 +732,55 @@ class Flame:
         self._apply_topology(np.asarray(uv_h),
                              np.asarray(eligible_h) > 0.5)
 
-    def _dispatch_window(self, frames, gt_batch):
-        """Pack B frames into one uint8 buffer, dispatch the scan step,
-        then retriangulate if the window contained a poseframe."""
-        self._apply_pending_triangulation()
-        # Windows must be poseframe-aligned (pf only at index 0) so the
-        # compiled graph needs no branches; split otherwise.
-        for b in range(1, len(frames)):
-            if frames[b][4]:
-                self._dispatch_window(frames[:b], None if gt_batch is None
-                                      else gt_batch[:b])
-                self._dispatch_window(frames[b:], None if gt_batch is None
-                                      else gt_batch[b:])
-                return
+    def _pack_segments(self, frames, gt_batch):
+        """Pack frames into poseframe-aligned uint8 segments (pf only at
+        index 0 — the compiled graph needs no branches), committing the
+        poseframe/keyframe-slot bookkeeping. Host-only; no device calls.
+
+        Returns [(packed [B, H*W+meta] u8, gt [B,H,W] f32 | None,
+                  first_is_pf, any_pf, B)].
+        """
         H, W = self.cam.height, self.cam.width
-        B = len(frames)
-        packed = np.empty((B, H * W + META_LEN * 4), np.uint8)
-        any_pf = False
-        for b, (time, img_id, pose, gray, is_pf) in enumerate(frames):
-            if is_pf:
-                any_pf = True
-                kf_slot = self._kf_slot
-                self._num_poseframes += 1
-                self._kf_slot = ((self._kf_slot + 1)
-                                 % self.params.engine.max_keyframes)
-            else:
-                kf_slot = 0
-            g = np.asarray(gray)
-            packed[b, :H * W] = (
-                g.ravel() if g.dtype == np.uint8
-                else np.clip(g, 0, 255).astype(np.uint8).ravel())
-            packed[b, H * W:] = pack_frame_meta(
-                np.asarray(pose.q), np.asarray(pose.t), img_id, is_pf,
-                kf_slot)
-        packed_dev = jax.device_put(packed)
-        has_gt = gt_batch is not None
-        if gt_batch is None:
-            gt_batch = jnp.zeros((B, H, W), jnp.float32)
+        cuts = ([0] + [b for b in range(1, len(frames)) if frames[b][4]]
+                + [len(frames)])
+        segs = []
+        for s0, s1 in zip(cuts[:-1], cuts[1:]):
+            seg = frames[s0:s1]
+            B = len(seg)
+            packed = np.empty((B, H * W + META_LEN * 4), np.uint8)
+            any_pf = False
+            for b, (time, img_id, pose, gray, is_pf) in enumerate(seg):
+                if is_pf:
+                    any_pf = True
+                    kf_slot = self._kf_slot
+                    self._num_poseframes += 1
+                    self._kf_slot = ((self._kf_slot + 1)
+                                     % self.params.engine.max_keyframes)
+                else:
+                    kf_slot = 0
+                g = np.asarray(gray)
+                packed[b, :H * W] = (
+                    g.ravel() if g.dtype == np.uint8
+                    else np.clip(g, 0, 255).astype(np.uint8).ravel())
+                packed[b, H * W:] = pack_frame_meta(
+                    np.asarray(pose.q), np.asarray(pose.t), img_id, is_pf,
+                    kf_slot)
+            seg_gt = gt_batch[s0:s1] if gt_batch is not None else None
+            segs.append((packed, seg_gt, bool(seg[0][4]), any_pf, B))
+        return segs
+
+    def _dispatch_packed(self, packed_dev, gt_dev, first_is_pf, any_pf, B):
+        """Dispatch one packed (already on-device) segment, then
+        retriangulate if it contained a poseframe."""
+        self._apply_pending_triangulation()
+        has_gt = gt_dev is not None
+        if gt_dev is None:
+            gt_dev = jnp.zeros((B, self.cam.height, self.cam.width),
+                               jnp.float32)
         (self.state, statuses, uv_matches, stats, dets) = _window_step(
-            self.state, packed_dev, gt_batch,
+            self.state, packed_dev, gt_dev,
             cam=self.cam, params=self.params, has_gt=has_gt,
-            first_is_pf=bool(frames[0][4]))
+            first_is_pf=first_is_pf)
         self._dev_status = statuses[-1]
         self._dev_uv_match = uv_matches[-1]
         self._dev_stats = stats[-1]

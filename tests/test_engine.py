@@ -162,6 +162,47 @@ def test_update_window_matches_sequential(seq):
     assert recs[-1]["num_feats"] > 100
 
 
+def test_prefetch_window_matches_plain(seq):
+    """The double-buffered upload path (prefetch_window +
+    update_window(prefetched=...)) must be bit-identical to plain
+    update_window: packing is shared, only the H2D is threaded."""
+    params = _small_params()
+    a = Flame(seq.cam.width, seq.cam.height, cam=seq.cam, params=params)
+    b = Flame(seq.cam.width, seq.cam.height, cam=seq.cam, params=params)
+
+    def win(w):
+        # Wrap past the fixture's 18 frames (ordering checks reuse data).
+        return [(seq.timestamps[i % 18] + i // 18, i,
+                 SE3(seq.poses.q[i % 18], seq.poses.t[i % 18]),
+                 seq.images[i % 18], i % 6 == 0)
+                for i in range(6 * w, 6 * w + 6)]
+
+    for w in range(3):
+        assert a.update_window(win(w))
+    # Pipelined: window w+1 uploads while window w computes.
+    pre = b.prefetch_window(win(0))
+    for w in range(3):
+        nxt = b.prefetch_window(win(w + 1)) if w + 1 < 3 else None
+        assert b.update_window(prefetched=pre)
+        pre = nxt
+    np.testing.assert_array_equal(np.asarray(a.state.vtx_x),
+                                  np.asarray(b.state.vtx_x))
+    np.testing.assert_array_equal(np.asarray(a.state.vtx_in_graph),
+                                  np.asarray(b.state.vtx_in_graph))
+    np.testing.assert_array_equal(np.asarray(a.state.edge_q),
+                                  np.asarray(b.state.edge_q))
+    # Out-of-order consumption is rejected.
+    h1 = b.prefetch_window(win(3))
+    h2 = b.prefetch_window(win(4))
+    with pytest.raises(RuntimeError):
+        b.update_window(prefetched=h2)
+    # Plain updates are rejected while prefetches are outstanding.
+    with pytest.raises(RuntimeError):
+        b.update_window(win(5))
+    assert b.update_window(prefetched=h1)
+    assert b.update_window(prefetched=h2)
+
+
 def test_deferred_triangulation(seq):
     """Deferred mode: topology lands one window late but quality holds."""
     params = _small_params()
