@@ -523,6 +523,26 @@ def _smooth_step(state: EngineState, img_pyr, cur_q, cur_t, track_counts,
     return new_state, idepth_map, stats_vec
 
 
+@partial(jax.jit, static_argnames=("T", "E", "N", "D"))
+def _unpack_topology(buf, *, T: int, E: int, N: int, D: int):
+    """Split one packed int32 topology upload into its arrays on device
+    (one H2D instead of six — link latency dominates per-transfer cost on
+    tunneled backends)."""
+    o = 0
+    tris = buf[o:o + 3 * T].reshape(T, 3)
+    o += 3 * T
+    tv = buf[o:o + T] > 0
+    o += T
+    edges = buf[o:o + 2 * E].reshape(E, 2)
+    o += 2 * E
+    ev = buf[o:o + E] > 0
+    o += E
+    inc_e = buf[o:o + N * D].reshape(N, D)
+    o += N * D
+    inc_s = buf[o:o + N * D].reshape(N, D).astype(jnp.float32)
+    return tris, tv, edges, ev, inc_e, inc_s
+
+
 class Flame:
     """Host orchestrator mirroring the reference flame::Flame surface."""
 
@@ -553,6 +573,8 @@ class Flame:
         # starts its upload on this single worker thread so link latency
         # overlaps the in-flight window's compute (high-latency links).
         self._h2d_pool = None
+        self._tri_pool = None  # deferred triangulation gets its own
+        # worker so a slow D2H pull never queues behind a window upload
         self._prefetch_issued = deque()
         self._dev_status = None
         self._dev_stats = None
@@ -723,14 +745,14 @@ class Flame:
         return frames
 
     def _apply_pending_triangulation(self):
-        """Materialize an async position pull from the previous window and
-        rebuild topology (deferred mode)."""
+        """Install the topology built by the previous window's deferred
+        triangulation job (D2H pull + host Delaunay + packed upload, all
+        of which ran on the worker thread behind this window's compute)."""
         if self._pending_tri is None:
             return
-        uv_h, eligible_h = self._pending_tri
+        fut = self._pending_tri
         self._pending_tri = None
-        self._apply_topology(np.asarray(uv_h),
-                             np.asarray(eligible_h) > 0.5)
+        self._install_topology(fut.result())
 
     def _pack_segments(self, frames, gt_batch):
         """Pack frames into poseframe-aligned uint8 segments (pf only at
@@ -832,9 +854,12 @@ class Flame:
         self._apply_topology(uv, buf[2 * N:] > 0.5)
 
     def _schedule_triangulation(self):
-        """Deferred mode: start an async device->host pull of positions;
-        the topology rebuild happens at the next window boundary, hiding
-        the round-trip behind the next window's compute."""
+        """Deferred mode: run the WHOLE triangulation round-trip — async
+        D2H pull of vertex positions, host Delaunay + incidence build, and
+        the packed topology upload — on the worker thread, hiding it
+        behind the next window's compute. The result installs at the next
+        window boundary (topology staleness grows by one window; FLaME
+        already smooths over stale topology between poseframes)."""
         uv_h = self.state.vtx_uv
         el_h = self.state.vtx_in_graph.astype(jnp.float32)
         try:
@@ -842,9 +867,22 @@ class Flame:
             el_h.copy_to_host_async()
         except Exception:
             pass  # backend may not support async copies; pull later
-        self._pending_tri = (uv_h, el_h)
+        if self._tri_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._tri_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="flame-tri")
 
-    def _apply_topology(self, uv: np.ndarray, eligible: np.ndarray):
+        def job():
+            return jax.device_put(self._build_topology_host(
+                np.asarray(uv_h), np.asarray(el_h) > 0.5))
+
+        self._pending_tri = self._tri_pool.submit(job)
+
+    def _build_topology_host(self, uv: np.ndarray, eligible: np.ndarray):
+        """Delaunay + incidence lists on host, packed into ONE int32
+        buffer for a single H2D (six separate uploads cost six link
+        round-trips on a tunneled backend). Pure host function — safe on
+        the worker thread."""
         idx = np.flatnonzero(eligible)
         N = self.params.engine.max_features
         E = self.params.engine.max_edges
@@ -873,11 +911,27 @@ class Flame:
         inc_e, inc_s, keep = reg_ops.build_incidence(
             edges_pad, ev, N, self.params.engine.max_vertex_degree)
         ev &= keep
+        return np.concatenate([
+            tris_pad.ravel(), tv.astype(np.int32),
+            edges_pad.ravel(), ev.astype(np.int32),
+            inc_e.ravel(), inc_s.astype(np.int32).ravel()])
+
+    def _install_topology(self, buf_dev):
+        """Unpack a packed topology upload on device and swap it into the
+        engine state (duals reset: the dual space changes with the edge
+        set)."""
+        e = self.params.engine
+        tris, tv, edges, ev, inc_e, inc_s = _unpack_topology(
+            buf_dev, T=e.max_triangles, E=e.max_edges,
+            N=e.max_features, D=e.max_vertex_degree)
         self.state = self.state._replace(
-            tris=jnp.asarray(tris_pad), tri_valid=jnp.asarray(tv),
-            edges=jnp.asarray(edges_pad), edge_valid=jnp.asarray(ev),
-            inc_edges=jnp.asarray(inc_e), inc_sign=jnp.asarray(inc_s),
+            tris=tris, tri_valid=tv, edges=edges, edge_valid=ev,
+            inc_edges=inc_e, inc_sign=inc_s,
             edge_q=jnp.zeros_like(self.state.edge_q))
+
+    def _apply_topology(self, uv: np.ndarray, eligible: np.ndarray):
+        self._install_topology(jax.device_put(
+            self._build_topology_host(uv, eligible)))
 
     # -- getters (reference flame::Flame surface) ------------------------
     def get_inverse_depth_mesh(self):
@@ -998,6 +1052,7 @@ class Flame:
         """Serialize the full engine state (keyframe tensors, graph state,
         filter posteriors) + host counters. EngineState is a flat pytree of
         arrays, so a single NPZ captures everything."""
+        self._apply_pending_triangulation()  # drain deferred topology
         leaves, treedef = jax.tree.flatten(self.state)
         arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
         arrays["__host__"] = np.array([
