@@ -576,6 +576,7 @@ class Flame:
         self._tri_pool = None  # deferred triangulation gets its own
         # worker so a slow D2H pull never queues behind a window upload
         self._prefetch_issued = deque()
+        self._stale_tri_windows = 0  # telemetry: dispatches on stale topo
         self._dev_status = None
         self._dev_stats = None
         self._dev_stats_window = None
@@ -744,11 +745,21 @@ class Flame:
             frames = [(t0, i0, p0, g0, True)] + frames[1:]
         return frames
 
-    def _apply_pending_triangulation(self):
+    def _apply_pending_triangulation(self, block: bool = True):
         """Install the topology built by the previous window's deferred
         triangulation job (D2H pull + host Delaunay + packed upload, all
-        of which ran on the worker thread behind this window's compute)."""
+        of which ran on the worker thread behind this window's compute).
+
+        With block=False an unfinished job is left pending (the dispatch
+        proceeds on stale topology — FLaME smooths over stale topology by
+        design) so the round-trip never sits on the dispatch critical
+        path. _schedule_triangulation drains it with block=True right
+        AFTER the next window is dispatched, overlapping the wait with
+        that window's device compute."""
         if self._pending_tri is None:
+            return
+        if not block and not self._pending_tri.done():
+            self._stale_tri_windows += 1
             return
         fut = self._pending_tri
         self._pending_tri = None
@@ -794,7 +805,7 @@ class Flame:
     def _dispatch_packed(self, packed_dev, gt_dev, first_is_pf, any_pf, B):
         """Dispatch one packed (already on-device) segment, then
         retriangulate if it contained a poseframe."""
-        self._apply_pending_triangulation()
+        self._apply_pending_triangulation(block=False)
         has_gt = gt_dev is not None
         if gt_dev is None:
             gt_dev = jnp.zeros((B, self.cam.height, self.cam.width),
@@ -860,6 +871,10 @@ class Flame:
         behind the next window's compute. The result installs at the next
         window boundary (topology staleness grows by one window; FLaME
         already smooths over stale topology between poseframes)."""
+        # Drain the previous job first: the wait overlaps the device
+        # compute of the window that was just dispatched, and guarantees
+        # every built topology installs (never silently superseded).
+        self._apply_pending_triangulation(block=True)
         uv_h = self.state.vtx_uv
         el_h = self.state.vtx_in_graph.astype(jnp.float32)
         try:
