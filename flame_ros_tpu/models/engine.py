@@ -467,11 +467,18 @@ def _smooth_step(state: EngineState, img_pyr, cur_q, cur_t, track_counts,
     cov = raster_ops.coverage(idepth_map)
 
     # --- photometric error (vs most recent keyframe) -------------------
+    # Telemetry stat (reference publishes per-frame photo error). Sampled
+    # on a stride-2 grid: a quarter of the pixels estimates the same mean,
+    # and the dense 307k-element warp gather was the most expensive part
+    # of this step at VGA. The total is rescaled to dense-equivalent.
     kf_slot = jnp.argmax(state.kf_ids)  # newest poseframe
-    u = jax.lax.broadcasted_iota(jnp.float32, (cam.height, cam.width), 1)
-    v = jax.lax.broadcasted_iota(jnp.float32, (cam.height, cam.width), 0)
-    xi = jnp.nan_to_num(idepth_map, nan=0.0)
-    ok = jnp.isfinite(idepth_map) & (xi > 1e-3)
+    hs, ws = cam.height // 2, cam.width // 2
+    u = jax.lax.broadcasted_iota(jnp.float32, (hs, ws), 1) * 2.0
+    v = jax.lax.broadcasted_iota(jnp.float32, (hs, ws), 0) * 2.0
+    sidx = (v * cam.width + u).astype(jnp.int32)
+    xi = jnp.take(jnp.nan_to_num(idepth_map, nan=0.0).reshape(-1), sidx)
+    img_s = jnp.take(img_pyr[0].reshape(-1), sidx)
+    ok = jnp.take(jnp.isfinite(idepth_map).reshape(-1), sidx) & (xi > 1e-3)
     X = cam.backproject(jnp.stack([u, v], -1), jnp.maximum(xi, 1e-3))
     q_kc = quat_mul(quat_conj(state.kf_q[kf_slot]), cur_q)
     t_kc = quat_rotate(quat_conj(state.kf_q[kf_slot]),
@@ -483,9 +490,9 @@ def _smooth_step(state: EngineState, img_pyr, cur_q, cur_t, track_counts,
     kf_img = state.kf_pyrs[kf_slot, 0]
     from flame_ros_tpu.ops.interp import bilinear
     vals, samp_ok = bilinear(kf_img, uv_kf)
-    perr = jnp.abs(vals - img_pyr[0])
+    perr = jnp.abs(vals - img_s)
     pmask = ok & samp_ok & ~behind
-    total_photo = jnp.sum(jnp.where(pmask, perr, 0.0))
+    total_photo = 4.0 * jnp.sum(jnp.where(pmask, perr, 0.0))
     n_photo = jnp.maximum(jnp.sum(pmask.astype(jnp.float32)), 1.0)
 
     zero = jnp.float32(0.0)

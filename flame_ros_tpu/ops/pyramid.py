@@ -1,11 +1,21 @@
 """Image pyramids stored as a single padded [L, H, W] tensor.
 
-Level l is a 2^l-downsampled (2x2 mean-pooled) image occupying the top-left
-(H>>l, W>>l) corner of plane l. Keeping all levels in one fixed-shape array
-makes per-feature level selection a pure index computation — one gather
-serves every scale, which is what lets the epipolar search pick its scale
-per feature without data-dependent shapes (SURVEY §7: "epipolar search ...
-over the image pyramid").
+Level l is a 2^l-downsampled (2x2 mean-pooled) image stored ROW-MAJOR
+FLAT at the start of plane l: plane l's first (H>>l)*(W>>l) elements are
+the level image raveled with its own row stride W>>l (zero padding
+after). Keeping all levels in one fixed-shape array makes per-feature
+level selection a pure index computation — one gather serves every
+scale, which is what lets the epipolar search pick its scale per feature
+without data-dependent shapes (SURVEY §7: "epipolar search ... over the
+image pyramid").
+
+The flat-row layout (rather than each level occupying the top-left 2D
+corner of its plane) exists for TPU packing speed: writing a small level
+into a 2D corner of a padded plane costs a strided relayout (~5 ms/frame
+at VGA, measured), while a raveled level packs with one contiguous 1D
+pad. Level 0 fills its whole plane, so `pyr[0]` is still the full-res
+image; other levels must be read through the samplers below or
+`level_view`.
 """
 from __future__ import annotations
 
@@ -15,20 +25,42 @@ import jax
 import jax.numpy as jnp
 
 
+def _down_mat(n: int):
+    """[n/2, n] banded 2-tap averaging matrix (rows sum to 1)."""
+    i = jnp.arange(n // 2, dtype=jnp.int32)[:, None]
+    j = jnp.arange(n, dtype=jnp.int32)[None, :]
+    return 0.5 * ((j == 2 * i) | (j == 2 * i + 1)).astype(jnp.float32)
+
+
 @partial(jax.jit, static_argnames=("num_levels",))
 def build_pyramid(img, num_levels: int = 3):
-    """img [H, W] -> [L, H, W] padded pyramid (2x2 mean pooling)."""
+    """img [H, W] -> [L, H, W] padded pyramid (2x2 mean pooling).
+
+    The downsample runs as two banded-matrix contractions (D_h @ img @
+    D_w^T) instead of stride-2 slicing: strided lane access forces
+    cross-lane relayouts on TPU (measured 7.2 ms at VGA), while the
+    contractions ride the MXU (<1 ms). HIGHEST precision keeps the
+    result an exact f32 4-tap mean."""
     H, W = img.shape
     assert H % (1 << (num_levels - 1)) == 0
     assert W % (1 << (num_levels - 1)) == 0
-    out = jnp.zeros((num_levels, H, W), img.dtype)
-    out = out.at[0].set(img)
+    rows = [img.ravel()]
     cur = img
     for l in range(1, num_levels):
-        cur = 0.25 * (cur[0::2, 0::2] + cur[1::2, 0::2]
-                      + cur[0::2, 1::2] + cur[1::2, 1::2])
-        out = out.at[l, :H >> l, :W >> l].set(cur)
-    return out
+        Dh = _down_mat(H >> (l - 1))
+        Dw = _down_mat(W >> (l - 1))
+        cur = jnp.dot(jnp.dot(Dh, cur, precision=jax.lax.Precision.HIGHEST),
+                      Dw.T, precision=jax.lax.Precision.HIGHEST)
+        rows.append(jax.lax.pad(cur.ravel(), jnp.array(0, img.dtype),
+                                [(0, H * W - cur.size, 0)]))
+    return jnp.stack(rows).reshape(num_levels, H, W)
+
+
+def level_view(pyr, l: int):
+    """2D [H>>l, W>>l] view of level l (host/debug use)."""
+    L, H, W = pyr.shape
+    h, w = H >> l, W >> l
+    return pyr[l].reshape(-1)[:h * w].reshape(h, w)
 
 
 def _level_coords(uv, level_f):
@@ -60,11 +92,13 @@ def bilinear_pyramid(pyr, uv, level, *, out_of_bounds: float = 0.0):
     au = u - u0
     av = v - v0
     flat = pyr.reshape(-1)
-    idx = level * (H * W) + v0 * W + u0
+    # Levels are raveled with their OWN row stride W>>l (see module doc).
+    Wl_i = jnp.round(Wl).astype(jnp.int32)
+    idx = level * (H * W) + v0 * Wl_i + u0
     i00 = jnp.take(flat, idx, mode="clip")
     i01 = jnp.take(flat, idx + 1, mode="clip")
-    i10 = jnp.take(flat, idx + W, mode="clip")
-    i11 = jnp.take(flat, idx + W + 1, mode="clip")
+    i10 = jnp.take(flat, idx + Wl_i, mode="clip")
+    i11 = jnp.take(flat, idx + Wl_i + 1, mode="clip")
     val = ((i00 * (1 - au) + i01 * au) * (1 - av)
            + (i10 * (1 - au) + i11 * au) * av)
     return jnp.where(valid, val, out_of_bounds), valid
@@ -98,14 +132,15 @@ def bilinear_pyramid_batched(pyrs_flat, row_idx, shape, uv, level,
     plane = L * H * W
     shape_suffix = (1,) * (uv.ndim - 2)
     base = (row_idx.reshape(row_idx.shape + shape_suffix) * plane)
-    idx = base + level * (H * W) + v0 * W + u0
+    Wl_i = jnp.round(Wl).astype(jnp.int32)
+    idx = base + level * (H * W) + v0 * Wl_i + u0
     flat = pyrs_flat.reshape(-1)
 
     def take(i):
         return jnp.take(flat, i, mode="clip")
 
     i00, i01 = take(idx), take(idx + 1)
-    i10, i11 = take(idx + W), take(idx + W + 1)
+    i10, i11 = take(idx + Wl_i), take(idx + Wl_i + 1)
     val = ((i00 * (1 - au) + i01 * au) * (1 - av)
            + (i10 * (1 - au) + i11 * au) * av)
     return jnp.where(valid, val, out_of_bounds), valid
