@@ -70,10 +70,17 @@ class FlameNodelet:
     def __init__(self, cam: Pinhole, params: Optional[FlameParams] = None,
                  queue_size: int = 8,
                  alarm_after_s: float = 1.0, fail_after_s: float = 5.0,
-                 pose_source: str = "external"):
+                 pose_source: str = "external", ba_refine: bool = False):
         if pose_source not in ("external", "tracking"):
             raise ValueError(pose_source)
         self.pose_source = pose_source
+        # Photometric windowed BA over the keyframe ring at poseframe rate
+        # (models/ba.py) — refines keyframe poses beyond the odometry
+        # pose graph. Only meaningful with pose_source="tracking"
+        # (external poses are treated as ground truth, reference
+        # semantics).
+        self.ba_refine = ba_refine
+        self.ba_costs: list[float] = []
         self.cam = cam
         self.params = params or FlameParams()
         self.engine = Flame(cam.width, cam.height, cam=cam,
@@ -268,6 +275,55 @@ class FlameNodelet:
                               + [(nid, SE3(q[k], t[k]))
                                  for k, (nid, _) in enumerate(nodes)])
 
+    def _ba_refine(self):
+        """Photometric windowed bundle adjustment over the live keyframe
+        ring: gauge = the newest poseframe; features owned by it provide
+        the depth parameters; refined poses retro-correct the engine via
+        update_poseframe_poses (reference poseframeCallback semantics,
+        src/flame_nodelet.cc:414-479 — here the correction is computed
+        in-process instead of arriving from an external SLAM system)."""
+        import jax.numpy as jnp
+
+        from flame_ros_tpu.models.ba import bundle_adjust_window
+
+        st = self.engine.state
+        kf_valid = np.asarray(st.kf_valid)
+        if kf_valid.sum() < 3:
+            return
+        kf_ids = np.asarray(st.kf_ids)
+        ref_slot = int(np.argmax(np.where(kf_valid, kf_ids, -1)))
+        # Features owned by the reference keyframe, up to a fixed budget
+        # (static shapes: one jit specialization).
+        fv = np.asarray(st.feat.valid) & (np.asarray(st.feat.kf_idx)
+                                          == ref_slot)
+        idx = np.flatnonzero(fv)[:256]
+        if len(idx) < 24:
+            return
+        P = 256
+        uv = np.zeros((P, 2), np.float32)
+        d0 = np.full((P,), 0.5, np.float32)
+        uv[:len(idx)] = np.asarray(st.feat.uv_ref)[idx]
+        d0[:len(idx)] = np.asarray(st.feat.mu)[idx]
+        pv = np.arange(P) < len(idx)
+
+        # Roll the ring so the gauge sits at index 0 (ref_index is a
+        # static jit argument; rolling keeps it at one compilation).
+        roll = lambda a: jnp.roll(a, -ref_slot, axis=0)
+        res = bundle_adjust_window(
+            roll(st.kf_pyrs), roll(st.kf_q), roll(st.kf_t),
+            roll(st.kf_valid), jnp.asarray(uv), jnp.asarray(d0),
+            jnp.asarray(pv), ref_index=0, cam=self.cam,
+            num_iters=4, coarse_iters=2, level=1)
+        self.ba_costs.append(float(res.final_cost))
+        q = np.roll(np.asarray(res.q), ref_slot, axis=0)
+        t = np.roll(np.asarray(res.t), ref_slot, axis=0)
+        if not (np.isfinite(q).all() and np.isfinite(t).all()):
+            return
+        live = np.flatnonzero(kf_valid)
+        self.engine.update_poseframe_poses(
+            [int(kf_ids[s]) for s in live],
+            SE3(jnp.asarray(q[live]), jnp.asarray(t[live])))
+
     def _process(self, frame: InputFrame):
         p = self.params
         if frame.img_id % p.input.subsample_factor:
@@ -299,6 +355,8 @@ class FlameNodelet:
                 self._refresh_track_ref(pose, self._pending_cur_pyr)
             if is_pf:
                 self._pose_graph_update(frame.img_id, pose)
+                if self.ba_refine:
+                    self._ba_refine()
         self._n_proc += 1
         self._last_success_time = time_mod.perf_counter()
 

@@ -108,6 +108,31 @@ def test_tracking_mode_estimates_trajectory():
     assert np.median(node.track_costs) < 12.0
 
 
+def test_tracking_mode_with_ba_refine():
+    """ba_refine=True: windowed photometric BA runs at poseframe rate and
+    retro-corrects keyframe poses; the pipeline stays healthy and the
+    trajectory stays within the tracking-mode ATE envelope."""
+    n = 25
+    seq = make_sequence(n_frames=30, cam=QVGA, motion="strafe")
+    node = FlameNodelet(seq.cam, _params(), pose_source="tracking",
+                        ba_refine=True)
+    est_poses = {}
+    for i in range(n):
+        node.push_frame(i, seq.timestamps[i], gray=seq.images[i],
+                        depth=seq.depths[0] if i == 0 else None)
+        node.run_until_idle(idle_timeout=0.01)
+        est_poses[i] = node._last_pose[1]
+    assert len(node.ba_costs) >= 1, "BA never ran"
+    assert np.isfinite(node.ba_costs).all()
+    kf_q = np.asarray(node.engine.state.kf_q)
+    kf_valid = np.asarray(node.engine.state.kf_valid)
+    assert np.isfinite(kf_q[kf_valid]).all()
+    errs = [np.linalg.norm(np.asarray(est_poses[i].t)
+                           - np.asarray(seq.poses.t[i])) for i in range(n)]
+    ate = np.sqrt(np.mean(np.square(errs)))
+    assert ate < 0.05 * 2.0, f"ATE {ate:.4f} m with BA refine"
+
+
 def test_poseframe_callback_infers_pattern():
     seq = make_sequence(n_frames=13, cam=QVGA)
     node = FlameNodelet(seq.cam, _params())
