@@ -128,9 +128,10 @@ def rasterize_idepth(vtx_pos, vtx_x, tris, tri_valid, *, height: int,
     """Dense inverse-depth map [H, W] (NaN outside the mesh) + id buffer."""
     planes, pvalid = triangle_planes(vtx_pos, vtx_x, tris, tri_valid)
     if use_pallas:
-        from flame_ros_tpu.ops.raster_pallas import rasterize_tri_ids_pallas
-        idmap = rasterize_tri_ids_pallas(vtx_pos, tris, pvalid,
-                                         height=height, width=width)
+        from flame_ros_tpu.ops.raster_pallas import (
+            rasterize_tri_ids_pallas_v3)
+        idmap = rasterize_tri_ids_pallas_v3(vtx_pos, tris, pvalid,
+                                            height=height, width=width)
     else:
         idmap = rasterize_tri_ids(vtx_pos, tris, pvalid,
                                   height=height, width=width)
