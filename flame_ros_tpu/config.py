@@ -50,6 +50,7 @@ class TrackingParams:
     win_size: int = 5            # Patch length along epipolar line (odd).
     max_dropouts: int = 5        # Consecutive failures before a feature dies.
     epipolar_line_var: float = 4.0  # Image-noise variance on the epipolar line.
+    max_idepth_var: float = 1.0  # Posterior variance above which a feature dies.
 
 
 @dataclass(frozen=True)

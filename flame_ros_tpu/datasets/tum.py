@@ -171,7 +171,8 @@ class TUMRGBDStream:
             return img
         if self._maps is None:
             self._maps = undistort_maps(self.calib.cam,
-                                        self.calib.dist_coeffs)
+                                        self.calib.dist_coeffs,
+                                        raw_K=self.calib.raw_K)
         return remap_bilinear(img, *self._maps)
 
     def _parse(self, line: str, img_id: int, raw: bool = False) -> TUMFrame:

@@ -107,6 +107,7 @@ class FlameNodelet:
 
         # Tracking-mode state.
         self._track_ref = None        # (pyr4, idepth, T_w_ref)
+        self._refresh_pending = False  # refresh track ref next processed frame
         self._last_rel: Optional[SE3] = None  # previous T_rc (motion model)
         self._prev_rel: Optional[SE3] = None
         self._pg_nodes: list[tuple[int, SE3]] = []   # (img_id, pose)
@@ -346,14 +347,16 @@ class FlameNodelet:
         if not ok:
             return
         if self.pose_source == "tracking":
-            # Refresh the tracking keyframe one frame AFTER the poseframe:
-            # the engine retriangulates after the poseframe dispatch, so
-            # that is the first dense map containing the new detections.
-            post_pf = ((frame.img_id - self._first_pf_id)
-                       % max(self._pf_subsample, 1)) == 1
-            if post_pf and self.engine.num_poseframes > 0:
+            # Refresh the tracking keyframe one processed frame AFTER the
+            # poseframe: the engine retriangulates after the poseframe
+            # dispatch, so that is the first dense map containing the new
+            # detections. A state flag (not img_id arithmetic) so the
+            # refresh fires under any subsample_factor/pf-stride combo.
+            if self._refresh_pending and self.engine.num_poseframes > 0:
                 self._refresh_track_ref(pose, self._pending_cur_pyr)
+                self._refresh_pending = False
             if is_pf:
+                self._refresh_pending = True
                 self._pose_graph_update(frame.img_id, pose)
                 if self.ba_refine:
                     self._ba_refine()

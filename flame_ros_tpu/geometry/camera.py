@@ -73,18 +73,29 @@ class Pinhole:
                 & (v >= margin) & (v <= self.height - 1 - margin))
 
 
-def undistort_maps(cam: Pinhole, dist_coeffs) -> tuple[np.ndarray, np.ndarray]:
+def undistort_maps(cam: Pinhole, dist_coeffs,
+                   raw_K=None) -> tuple[np.ndarray, np.ndarray]:
     """Plumb-bob (radtan: k1,k2,p1,p2[,k3]) undistortion maps.
 
     Returns (map_u, map_v) of shape [H, W]: for each rectified pixel, the
     source pixel in the distorted image (use with bilinear remap). Matches the
     behavior of the reference's image_geometry rectifyImage call
-    (reference: tum_rgbd_offline_stream.cc:197-200) without OpenCV.
+    (reference: tum_rgbd_offline_stream.cc:197-200) without OpenCV:
+    rectified pixel -> normalize via the rectified intrinsics `cam` (the
+    P-matrix side) -> apply distortion -> distorted pixel via `raw_K` (the
+    CameraInfo camera_matrix side). When `raw_K` is None the raw camera
+    matrix is assumed equal to the rectified one (true for single-intrinsics
+    calibrations; ROS-calibrated cameras typically have P != K).
     """
     d = np.zeros(5, np.float64)
     dc = np.asarray(dist_coeffs, np.float64).ravel()
     d[:dc.size] = dc
     k1, k2, p1, p2, k3 = d
+    if raw_K is None:
+        rfx, rfy, rcx, rcy = cam.fx, cam.fy, cam.cx, cam.cy
+    else:
+        rK = np.asarray(raw_K, np.float64)
+        rfx, rfy, rcx, rcy = rK[0, 0], rK[1, 1], rK[0, 2], rK[1, 2]
     vs, us = np.meshgrid(np.arange(cam.height), np.arange(cam.width),
                          indexing="ij")
     x = (us - cam.cx) / cam.fx
@@ -93,8 +104,8 @@ def undistort_maps(cam: Pinhole, dist_coeffs) -> tuple[np.ndarray, np.ndarray]:
     radial = 1 + k1 * r2 + k2 * r2**2 + k3 * r2**3
     xd = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
     yd = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
-    map_u = (xd * cam.fx + cam.cx).astype(np.float32)
-    map_v = (yd * cam.fy + cam.cy).astype(np.float32)
+    map_u = (xd * rfx + rcx).astype(np.float32)
+    map_v = (yd * rfy + rcy).astype(np.float32)
     return map_u, map_v
 
 

@@ -31,13 +31,34 @@ _lib = None
 _lib_failed = False
 
 
+def _src_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.blake2b(f.read(), digest_size=16).hexdigest()
+
+
 def _build_native() -> bool:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
     cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        with open(_SO + ".srchash", "w") as f:
+            f.write(_src_hash())
         return True
     except Exception:
+        return False
+
+
+def _so_current() -> bool:
+    """The binary is used only if it was built from the current source
+    (verified by content hash, not mtimes — git checkouts do not preserve
+    mtime ordering, and an unverifiable stale/foreign blob must never
+    load)."""
+    if not os.path.exists(_SO):
+        return False
+    try:
+        with open(_SO + ".srchash") as f:
+            return f.read().strip() == _src_hash()
+    except OSError:
         return False
 
 
@@ -46,8 +67,7 @@ def _get_lib():
     with _lock:
         if _lib is not None or _lib_failed:
             return _lib
-        if not os.path.exists(_SO) or (
-                os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        if not _so_current():
             if not _build_native():
                 _lib_failed = True
                 return None

@@ -78,6 +78,11 @@ class EngineState(NamedTuple):
     prev_t: jax.Array       # [3]
     # Last dense idepth map (prediction source for new detections).
     last_idepth: jax.Array  # [H, W] (NaN where invalid)
+    # Per-detection-cell mean abs photometric error of the previous frame
+    # (min_error redetection: occupied cells whose mesh no longer explains
+    # the image re-open for detection, reference features/detection/
+    # min_error, cfg/flame_nodelet.yaml:70).
+    cell_err: jax.Array     # [nCy, nCx] float32
 
 
 def init_state(params: FlameParams, cam: Pinhole) -> EngineState:
@@ -119,6 +124,8 @@ def init_state(params: FlameParams, cam: Pinhole) -> EngineState:
         prev_q=jnp.array([1.0, 0, 0, 0], f32),
         prev_t=jnp.zeros((3,), f32),
         last_idepth=jnp.full((H, W), jnp.nan, f32),
+        cell_err=jnp.zeros((H // params.features.detection.win_size,
+                            W // params.features.detection.win_size), f32),
     )
 
 
@@ -218,6 +225,7 @@ def _track_step(state: EngineState, img_pyr, cur_q, cur_t, frame_id,
         ambiguous_match_ratio=eng.ambiguous_match_ratio,
         max_cost=eng.max_cost,
         max_dropouts=trk.max_dropouts,
+        max_idepth_var=trk.max_idepth_var,
     )
     feat = res.state
 
@@ -286,10 +294,15 @@ def _track_step(state: EngineState, img_pyr, cur_q, cur_t, frame_id,
         kf_valid = kf_valid.at[kf_slot].set(True)
         kf_ids = kf_ids.at[kf_slot].set(frame_id)
 
-        # Detection on free grid cells.
+        # Detection on free grid cells. min_error redetection: an occupied
+        # cell whose mesh no longer explains the image (mean abs photo
+        # error above min_error, from the previous frame's stride-2 photo
+        # pass) re-opens for detection (reference features/detection/
+        # min_error, cfg/flame_nodelet.yaml:70).
         occ = occupancy_from_features(uv_cur, feat.valid & inb,
                                       cam.height, cam.width,
                                       det.win_size)
+        occ = occ & ~(state.cell_err > det.min_error)
         duv, dscore, dvalid = detect_features(
             img_pyr[0], occ, win_size=det.win_size,
             min_grad_mag=det.min_grad_mag,
@@ -459,6 +472,19 @@ def _smooth_step(state: EngineState, img_pyr, cur_q, cur_t, track_counts,
         vtx_x = reg_ops.graph_lowpass(vtx_x, state.edges, state.edge_valid,
                                       state.vtx_in_graph)
 
+    if nl.check_sticky_obstacles:
+        # "Sticky obstacle" guard (reference cfg regularization/nltgv2/
+        # check_sticky_obstacles, parsed at src/flame_nodelet.cc:262-263;
+        # the core's formulation is not on disk, so this is our device-side
+        # semantics): smoothing must not hold geometry in front of the
+        # camera that the measurements do not support. A vertex whose
+        # smoothed idepth claims an obstacle within 2 m (x > 0.5) while
+        # sitting at more than twice its data anchor snaps back to the
+        # anchor, so phantom near-field surfaces cannot stick.
+        sticky = (state.vtx_in_graph & (vtx_x > 0.5)
+                  & (vtx_x > 2.0 * jnp.maximum(state.vtx_z, 1e-6)))
+        vtx_x = jnp.where(sticky, state.vtx_z, vtx_x)
+
     # --- rasterize ------------------------------------------------------
     idepth_map, idmap = raster_ops.rasterize_idepth(
         state.vtx_uv, vtx_x, state.tris, state.tri_valid,
@@ -495,6 +521,25 @@ def _smooth_step(state: EngineState, img_pyr, cur_q, cur_t, track_counts,
     total_photo = 4.0 * jnp.sum(jnp.where(pmask, perr, 0.0))
     n_photo = jnp.maximum(jnp.sum(pmask.astype(jnp.float32)), 1.0)
 
+    # Per-detection-cell mean abs photo error from the same stride-2
+    # samples (consumed next poseframe for min_error redetection).
+    dw = params.features.detection.win_size
+    nCy, nCx = cam.height // dw, cam.width // dw
+    if dw % 2 == 0:
+        s2 = dw // 2
+        e_c = jnp.where(pmask, perr, 0.0)[:nCy * s2, :nCx * s2]
+        m_c = pmask[:nCy * s2, :nCx * s2].astype(jnp.float32)
+        e_c = e_c.reshape(nCy, s2, nCx, s2).sum((1, 3))
+        m_c = m_c.reshape(nCy, s2, nCx, s2).sum((1, 3))
+    else:  # odd win_size: scatter-mean (rare; traced once)
+        cyi = jnp.clip((v / dw).astype(jnp.int32), 0, nCy - 1)
+        cxi = jnp.clip((u / dw).astype(jnp.int32), 0, nCx - 1)
+        e_c = jnp.zeros((nCy, nCx), jnp.float32).at[cyi, cxi].add(
+            jnp.where(pmask, perr, 0.0))
+        m_c = jnp.zeros((nCy, nCx), jnp.float32).at[cyi, cxi].add(
+            pmask.astype(jnp.float32))
+    cell_err = e_c / jnp.maximum(m_c, 1.0)
+
     zero = jnp.float32(0.0)
     if has_gt:
         from flame_ros_tpu.eval.metrics import (depth_confusion_matrix,
@@ -526,7 +571,7 @@ def _smooth_step(state: EngineState, img_pyr, cur_q, cur_t, track_counts,
         *gt_block,
     ])
     new_state = state._replace(vtx_x=vtx_x, vtx_w=vtx_w, edge_q=edge_q,
-                               last_idepth=idepth_map)
+                               last_idepth=idepth_map, cell_err=cell_err)
     return new_state, idepth_map, stats_vec
 
 
@@ -606,8 +651,12 @@ class Flame:
         is materialized by `flush_stats()`. Passing `gt_depth` folds the
         GT confusion matrix into the device stats vector.
         """
+        if self._prefetch_issued:
+            raise RuntimeError("outstanding prefetched windows; "
+                               "consume them first")
         s = self.stats_
         s.tick("update")
+        book = (self._num_poseframes, self._kf_slot)
         try:
             first = self._num_poseframes == 0
             is_pf = bool(is_poseframe or first)
@@ -617,9 +666,6 @@ class Flame:
                   else _ZERO_IMG(self.cam))
 
             if not use_truth:
-                if self._prefetch_issued:
-                    raise RuntimeError("outstanding prefetched windows; "
-                                       "consume them first")
                 # Single-frame window: one packed H2D, one dispatch.
                 [(packed, seg_gt, first_is_pf, any_pf, B)] = \
                     self._pack_segments(
@@ -663,6 +709,9 @@ class Flame:
                 self._frame_count += 1
             return True
         except FloatingPointError:
+            # Roll back pack-time poseframe bookkeeping so the host
+            # counters stay in sync with the device keyframe ring.
+            self._num_poseframes, self._kf_slot = book
             return False
         finally:
             s.tock("update")
@@ -686,6 +735,7 @@ class Flame:
             return True
         s = self.stats_
         s.tick("update")
+        book = (self._num_poseframes, self._kf_slot)
         try:
             if prefetched is not None:
                 if (not self._prefetch_issued
@@ -713,6 +763,7 @@ class Flame:
                     first_is_pf, any_pf, B)
             return True
         except FloatingPointError:
+            self._num_poseframes, self._kf_slot = book
             return False
         finally:
             s.tock("update")

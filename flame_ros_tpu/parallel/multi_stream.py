@@ -72,6 +72,7 @@ def state_shardings(mesh: Mesh) -> EngineState:
         kf_valid=s("stream", None), kf_ids=s("stream", None),
         prev_q=s("stream", None), prev_t=s("stream", None),
         last_idepth=s("stream", None, None),
+        cell_err=s("stream", None, None),
     )
 
 
