@@ -425,6 +425,12 @@ DEVICE_STATS_KEYS = (
     # GT-evaluation block (-1 when no ground truth this frame):
     "true_pos", "true_neg", "false_pos", "false_neg",
     "total_idepth_error", "idepth_rmse",
+    # Device health word: 1.0 = engine state finite, 0.0 = divergence
+    # detected (non-finite primal/posterior). Checked at the existing
+    # telemetry sync points; a 0 makes the next update() fail + recover
+    # (reference: update() returns false on real tracking failure,
+    # src/flame_nodelet.cc:637-642).
+    "health",
 )
 
 
@@ -540,6 +546,15 @@ def _smooth_step(state: EngineState, img_pyr, cur_q, cur_t, track_counts,
             pmask.astype(jnp.float32))
     cell_err = e_c / jnp.maximum(m_c, 1.0)
 
+    # Device health word: any non-finite primal/posterior/pose marks the
+    # state as diverged. One fused all-reduce; costs nothing next to the
+    # raster.
+    health = (jnp.isfinite(vtx_x).all()
+              & jnp.isfinite(state.feat.mu).all()
+              & jnp.isfinite(state.feat.var).all()
+              & jnp.isfinite(cur_q).all()
+              & jnp.isfinite(cur_t).all()).astype(jnp.float32)
+
     zero = jnp.float32(0.0)
     if has_gt:
         from flame_ros_tpu.eval.metrics import (depth_confusion_matrix,
@@ -569,10 +584,66 @@ def _smooth_step(state: EngineState, img_pyr, cur_q, cur_t, track_counts,
         total_photo,
         total_photo / n_photo,
         *gt_block,
+        health,
     ])
     new_state = state._replace(vtx_x=vtx_x, vtx_w=vtx_w, edge_q=edge_q,
                                last_idepth=idepth_map, cell_err=cell_err)
     return new_state, idepth_map, stats_vec
+
+
+@jax.jit
+def _sanitize_state(state: EngineState) -> EngineState:
+    """Divergence recovery: kill feature lanes / graph vertices / keyframes
+    whose numeric state went non-finite and restore safe defaults in their
+    slots, so the engine continues over the failure (reference semantics:
+    a failed update() skips the frame, the system continues,
+    src/flame_nodelet.cc:637-642)."""
+    f = state.feat
+    ffin = (jnp.isfinite(f.mu) & jnp.isfinite(f.var)
+            & jnp.isfinite(f.uv_ref).all(-1))
+    feat = f._replace(valid=f.valid & ffin,
+                      mu=jnp.where(ffin, f.mu, 0.5),
+                      var=jnp.where(ffin, f.var, 0.25))
+    zfin = jnp.isfinite(state.vtx_z)
+    vtx_z = jnp.where(zfin, state.vtx_z, 0.5)
+    vfin = jnp.isfinite(state.vtx_x)
+    kffin = (jnp.isfinite(state.kf_q).all(-1)
+             & jnp.isfinite(state.kf_t).all(-1))
+    ident_q = jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32)
+    return state._replace(
+        feat=feat,
+        vtx_x=jnp.where(vfin, state.vtx_x, vtx_z),
+        vtx_z=vtx_z,
+        vtx_w=jnp.where(jnp.isfinite(state.vtx_w), state.vtx_w, 0.0),
+        edge_q=jnp.where(jnp.isfinite(state.edge_q), state.edge_q, 0.0),
+        vtx_in_graph=state.vtx_in_graph & vfin & zfin & ffin,
+        vtx_uv=jnp.where(jnp.isfinite(state.vtx_uv), state.vtx_uv, 0.0),
+        kf_valid=state.kf_valid & kffin,
+        kf_q=jnp.where(kffin[:, None], state.kf_q, ident_q),
+        kf_t=jnp.where(kffin[:, None], state.kf_t, 0.0),
+        prev_q=jnp.where(jnp.isfinite(state.prev_q).all(), state.prev_q,
+                         ident_q),
+        prev_t=jnp.where(jnp.isfinite(state.prev_t).all(), state.prev_t,
+                         0.0),
+        cell_err=jnp.nan_to_num(state.cell_err),
+    )
+
+
+def _frame_input_ok(pose: SE3, gray: np.ndarray) -> bool:
+    """Host-side input gate (cheap: 7 floats + one vectorized isfinite):
+    garbage poses/images are rejected before they ever ship to the device
+    (reference: tf lookup failures and bad frames drop the frame,
+    tracked_image_stream.cc:182-185)."""
+    q = np.asarray(pose.q, np.float64)
+    t = np.asarray(pose.t, np.float64)
+    if not (np.all(np.isfinite(q)) and np.all(np.isfinite(t))):
+        return False
+    if abs(float(q @ q) - 1.0) > 0.1:
+        return False
+    g = np.asarray(gray)
+    if g.dtype.kind == "f" and not np.all(np.isfinite(g)):
+        return False
+    return True
 
 
 @partial(jax.jit, static_argnames=("T", "E", "N", "D"))
@@ -637,6 +708,12 @@ class Flame:
         self._host_status = None
         self._host_idepth = None
         self._host_idepth_frame = -1
+        # Failure semantics (reference: update() returns false on real
+        # tracking failure). Set when a pulled health word reports
+        # divergence; the next update() sanitizes state, fails the frame,
+        # and continues.
+        self._needs_recovery = False
+        self.num_failed_frames = 0
 
     # -- main entry ------------------------------------------------------
     def update(self, time: float, img_id: int, pose: SE3,
@@ -654,6 +731,8 @@ class Flame:
         if self._prefetch_issued:
             raise RuntimeError("outstanding prefetched windows; "
                                "consume them first")
+        if self._fail_or_recover(pose, img_gray):
+            return False
         s = self.stats_
         s.tick("update")
         book = (self._num_poseframes, self._kf_slot)
@@ -716,6 +795,25 @@ class Flame:
         finally:
             s.tock("update")
 
+    def _fail_or_recover(self, pose=None, img_gray=None) -> bool:
+        """Failure gate shared by update paths. Returns True if the frame
+        must fail: either a previously-pulled health word flagged
+        divergence (state is sanitized, engine continues), or the inputs
+        are garbage (rejected before upload)."""
+        if self._needs_recovery:
+            self.state = _sanitize_state(self.state)
+            self._needs_recovery = False
+            self.num_failed_frames += 1
+            return True
+        if pose is not None and not _frame_input_ok(pose, img_gray):
+            self.num_failed_frames += 1
+            return True
+        return False
+
+    def _check_health(self, rec: dict) -> None:
+        if rec.get("health", 1.0) < 0.5:
+            self._needs_recovery = True
+
     def update_window(self, frames=None, gt_depths=None,
                       prefetched=None) -> bool:
         """Process several frames in ONE device dispatch (one packed H2D).
@@ -733,6 +831,14 @@ class Flame:
         """
         if prefetched is None and not frames:
             return True
+        if self._fail_or_recover():
+            return False
+        if frames is not None:
+            ok = [f for f in frames if _frame_input_ok(f[2], f[3])]
+            self.num_failed_frames += len(frames) - len(ok)
+            if not ok and prefetched is None:
+                return False
+            frames = ok
         s = self.stats_
         s.tick("update")
         book = (self._num_poseframes, self._kf_slot)
@@ -778,6 +884,11 @@ class Flame:
         consumed in issue order with no other update()/update_window()
         calls interleaved.
         """
+        if not frames:
+            return None
+        ok = [f for f in frames if _frame_input_ok(f[2], f[3])]
+        self.num_failed_frames += len(frames) - len(ok)
+        frames = ok
         if not frames:
             return None
         if self._h2d_pool is None:
@@ -897,6 +1008,7 @@ class Flame:
         if recs:
             for k, v in recs[-1].items():
                 self.stats_.set(k, v)
+            self._check_health(recs[-1])
         return recs
 
     def flush_stats(self) -> dict:
@@ -909,6 +1021,7 @@ class Flame:
         rec = dict(zip(DEVICE_STATS_KEYS, (float(v) for v in vals)))
         for k, v in rec.items():
             s.set(k, v)
+        self._check_health(rec)
         return rec
 
     # -- host triangulation (poseframe rate) -----------------------------

@@ -282,3 +282,69 @@ def test_filtered_idepth_map(seq):
     raw = engine.get_inverse_depth_map()
     # Filtering can only reduce coverage.
     assert np.isfinite(filt).sum() <= np.isfinite(raw).sum()
+
+
+def test_update_fails_on_garbage_inputs_and_recovers(seq):
+    """Reference semantics: update() returns false on a real failure and
+    the engine continues (src/flame_nodelet.cc:637-642). Garbage inputs
+    are rejected host-side; device-state divergence trips the health
+    word, the next update fails once, state is sanitized, and the run
+    continues."""
+    engine = _run(seq, _small_params(), n=7)
+
+    # 1. Garbage pose (NaN translation) -> immediate False, no upload.
+    bad_pose = SE3(seq.poses.q[7], np.array([np.nan, 0.0, 0.0]))
+    assert engine.update(seq.timestamps[7], 7, bad_pose,
+                         seq.images[7], is_poseframe=False) is False
+    assert engine.num_failed_frames == 1
+
+    # 2. Unnormalized quaternion -> False.
+    bad_q = SE3(np.array([2.0, 0.0, 0.0, 0.0]), seq.poses.t[7])
+    assert engine.update(seq.timestamps[7], 7, bad_q,
+                         seq.images[7], is_poseframe=False) is False
+
+    # 3. Good frame still succeeds after rejections.
+    pose = SE3(seq.poses.q[7], seq.poses.t[7])
+    assert engine.update(seq.timestamps[7], 7, pose, seq.images[7],
+                         is_poseframe=False)
+    rec = engine.flush_stats()
+    assert rec["health"] == 1.0
+
+    # 4. Inject device-side divergence (non-finite filter posterior), pull
+    #    telemetry -> health word trips -> next update fails once and
+    #    sanitizes; the one after succeeds with finite state. (NaN vertex
+    #    primals are already self-healed by the projection gate in
+    #    _track_step; the posterior is the state that can actually carry
+    #    divergence forward.)
+    f = engine.state.feat
+    mu = np.asarray(f.mu).copy()
+    live = np.where(np.asarray(f.valid))[0]
+    assert live.size > 0
+    mu[live[:32]] = np.nan
+    engine.state = engine.state._replace(feat=f._replace(mu=jnp.asarray(mu)))
+    pose8 = SE3(seq.poses.q[8], seq.poses.t[8])
+    engine.update(seq.timestamps[8], 8, pose8, seq.images[8],
+                  is_poseframe=False)
+    rec = engine.flush_stats()
+    assert rec["health"] == 0.0
+    failed_before = engine.num_failed_frames
+    pose9 = SE3(seq.poses.q[9], seq.poses.t[9])
+    assert engine.update(seq.timestamps[9], 9, pose9, seq.images[9],
+                         is_poseframe=False) is False
+    assert engine.num_failed_frames == failed_before + 1
+    assert np.isfinite(np.asarray(engine.state.feat.mu)).all()
+    assert engine.update(seq.timestamps[10], 10, pose9, seq.images[9],
+                         is_poseframe=False)
+    rec = engine.flush_stats()
+    assert rec["health"] == 1.0
+
+
+def test_update_window_fails_on_recovery_flag(seq):
+    """update_window honors the same failure gate as update()."""
+    engine = _run(seq, _small_params(), n=7)
+    engine._needs_recovery = True
+    frames = [(seq.timestamps[7], 7,
+               SE3(seq.poses.q[7], seq.poses.t[7]), seq.images[7], False)]
+    assert engine.update_window(frames) is False
+    assert engine.num_failed_frames == 1
+    assert engine.update_window(frames) is True
