@@ -306,6 +306,9 @@ def main(argv=None):
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--window", type=int, default=0,
                    help="batch N frames per device dispatch (0 = per-frame)")
+    p.add_argument("--profile-stages", action="store_true",
+                   help="populate the reference's 13-stage timing "
+                        "vocabulary at debug rate (costs host syncs)")
     args = p.parse_args(argv)
     if args.dataset == "tum" and not args.input:
         p.error("--dataset tum requires --input <association file>")
@@ -314,6 +317,10 @@ def main(argv=None):
 
     params = (FlameParams.from_yaml(args.config) if args.config
               else FlameParams())
+    if args.profile_stages:
+        import dataclasses as _dc
+        params = _dc.replace(
+            params, debug=_dc.replace(params.debug, profile_stages=True))
     frames, cam = _build_frames(args)
     if args.out:
         os.makedirs(args.out, exist_ok=True)

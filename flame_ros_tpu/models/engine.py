@@ -195,6 +195,22 @@ def _window_step(state: EngineState, packed, gt_batch, *, cam: Pinhole,
     return state, statuses, uv_matches, stats, dets
 
 
+def _project_graph_core(state: EngineState, cur_q, cur_t, cam: Pinhole):
+    """Transform last frame's smoothed vertex idepth into the current
+    frame (the reference's project_graph stage): vertex positions track
+    the projected features; the primal value warm-starts from its
+    reprojection. Returns (x_proj [N], graph_ok [N])."""
+    qc = quat_conj(cur_q)
+    q_cp = quat_mul(qc, state.prev_q)
+    t_cp = quat_rotate(qc, state.prev_t - cur_t)
+    ray_prev = cam.ray(state.vtx_uv)
+    xprev = jnp.maximum(state.vtx_x, 1e-6)
+    X_c = quat_rotate(q_cp[None, :], ray_prev) / xprev[:, None] + t_cp[None, :]
+    x_proj = 1.0 / jnp.maximum(X_c[..., 2], 1e-6)
+    graph_ok = state.vtx_in_graph & (X_c[..., 2] > 1e-6)
+    return x_proj, graph_ok
+
+
 @partial(jax.jit, static_argnames=("cam", "params", "use_truth"))
 def _track_step(state: EngineState, img_pyr, cur_q, cur_t, frame_id,
                 kf_slot, is_poseframe, truth_idepth, *, cam: Pinhole,
@@ -262,17 +278,7 @@ def _track_step(state: EngineState, img_pyr, cur_q, cur_t, frame_id,
         feat, state.kf_q, state.kf_t, cur_q, cur_t, cam)
 
     # --- project_graph -------------------------------------------------
-    # Transform last frame's smoothed vertex idepth into the current frame
-    # (vertex positions track the projected features; the primal value
-    # warm-starts from its reprojection).
-    qc = quat_conj(cur_q)
-    q_cp = quat_mul(qc, state.prev_q)
-    t_cp = quat_rotate(qc, state.prev_t - cur_t)
-    ray_prev = cam.ray(state.vtx_uv)
-    xprev = jnp.maximum(state.vtx_x, 1e-6)
-    X_c = quat_rotate(q_cp[None, :], ray_prev) / xprev[:, None] + t_cp[None, :]
-    x_proj = 1.0 / jnp.maximum(X_c[..., 2], 1e-6)
-    graph_ok = state.vtx_in_graph & (X_c[..., 2] > 1e-6)
+    x_proj, graph_ok = _project_graph_core(state, cur_q, cur_t, cam)
     vtx_x = jnp.where(graph_ok, x_proj, z_cur)
     vtx_uv = uv_cur
 
@@ -678,7 +684,10 @@ class Flame:
                 raise ValueError("provide K or cam")
             cam = Pinhole.from_K(np.asarray(K), width, height)
         self.cam = cam
-        self.params = params or FlameParams()
+        # Resolve auto knobs (e.g. Pallas raster on TPU) against the
+        # backend this engine will actually dispatch to.
+        self.params = (params or FlameParams()).resolved(
+            jax.default_backend())
         self.state = init_state(self.params, cam)
         self.stats_ = StatsTracker()
         self._num_poseframes = 0
@@ -714,6 +723,8 @@ class Flame:
         # and continues.
         self._needs_recovery = False
         self.num_failed_frames = 0
+        # Debug-rate stage profiling (reference 13-stage vocabulary).
+        self._frames_since_profile = 0
 
     # -- main entry ------------------------------------------------------
     def update(self, time: float, img_id: int, pose: SE3,
@@ -786,6 +797,7 @@ class Flame:
                 self._dev_stats = stats_vec
                 self._host_status = None
                 self._frame_count += 1
+            self._maybe_profile_stages(pose, img_gray)
             return True
         except FloatingPointError:
             # Roll back pack-time poseframe bookkeeping so the host
@@ -813,6 +825,21 @@ class Flame:
     def _check_health(self, rec: dict) -> None:
         if rec.get("health", 1.0) < 0.5:
             self._needs_recovery = True
+
+    def _maybe_profile_stages(self, pose, img_gray, n_frames: int = 1):
+        """Debug-rate stage profiling (debug.profile_stages): re-measure
+        the reference's 13-stage timing vocabulary against the current
+        state every `profile_stages_every` frames. Costs host syncs —
+        never on the product path unless explicitly enabled."""
+        dbg = self.params.debug
+        if not dbg.profile_stages:
+            return
+        self._frames_since_profile += n_frames
+        if self._frames_since_profile < dbg.profile_stages_every:
+            return
+        self._frames_since_profile = 0
+        from flame_ros_tpu.utils.stage_profiler import profile_stages
+        profile_stages(self, img_gray, pose)
 
     def update_window(self, frames=None, gt_depths=None,
                       prefetched=None) -> bool:
@@ -867,6 +894,8 @@ class Flame:
                     jax.device_put(packed),
                     jax.device_put(seg_gt) if seg_gt is not None else None,
                     first_is_pf, any_pf, B)
+            self._maybe_profile_stages(frames[-1][2], frames[-1][3],
+                                       n_frames=len(frames))
             return True
         except FloatingPointError:
             self._num_poseframes, self._kf_slot = book

