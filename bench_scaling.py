@@ -1,62 +1,130 @@
-"""Multi-stream scaling benchmark.
+"""Multi-stream / multi-device scaling benchmark.
 
-Measures aggregate engine throughput when N video streams are batched
-through the vmapped multi-stream step (`parallel/multi_stream.py`) on the
-available devices. On a single chip this quantifies batching efficiency
-(fixed-cost amortization); on a pod slice the same code path shards the
-stream axis over ICI (BASELINE scaling-efficiency metric).
+Measures aggregate engine throughput when N video streams run through the
+vmapped multi-stream step (`parallel/multi_stream.py`) SHARDED over a
+("stream", "feat") device mesh, and reports:
 
-Prints one JSON line per stream count plus a summary line.
+- per-config aggregate fps (streams × frames / wall time),
+- dp scaling efficiency: fps(S streams on S devices) / (S × fps(1 on 1)),
+- feat-axis profitability: same stream count with and without
+  feature-axis model sharding.
+
+On the CPU backend it builds a virtual device mesh matched to the PHYSICAL
+core count (oversubscribing virtual devices past real cores caps apparent
+efficiency at cores/devices and would understate the design); on a real
+TPU slice the same code path shards over ICI. Prints one JSON line per
+measurement.
 """
 import json
+import multiprocessing
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import numpy as np
+
+def _cpu_setup(n_devices: int) -> None:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count="
+            f"{n_devices}").strip()
 
 
 def main():
+    want = int(os.environ.get("BENCH_SCALING_DEVICES",
+                              min(multiprocessing.cpu_count(), 8)))
+    _cpu_setup(want)
     import jax
+    try:
+        from jax._src import xla_bridge as _xb
+        _xb._backend_factories.pop("axon", None)
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
     import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     import __graft_entry__ as g
     from flame_ros_tpu.parallel import multi_stream as ms
 
+    devs = jax.devices()
+    print(json.dumps({"backend": jax.default_backend(),
+                      "devices": len(devs),
+                      "physical_cores": multiprocessing.cpu_count()}),
+          flush=True)
+
     params, cam, state, pyr, q, t = g._tiny_setup(
         height=240, width=320, max_features=1024)
-    results = {}
-    for S in (1, 2, 4, 8):
-        batched = jax.tree.map(
-            lambda x: jnp.broadcast_to(x[None], (S,) + x.shape), state)
-        img_pyrs = jnp.broadcast_to(pyr[None], (S,) + pyr.shape)
-        qs = jnp.broadcast_to(q[None], (S, 4))
-        ts = jnp.broadcast_to(t[None], (S, 3))
-        fids = jnp.ones((S,), jnp.int32)
+    state_h = jax.tree.map(np.asarray, state)
+    pyr_h, q_h, t_h = np.asarray(pyr), np.asarray(q), np.asarray(t)
 
-        out = ms.batched_frame_step(batched, img_pyrs, qs, ts, fids,
-                                    cam=cam, params=params)
-        np.asarray(jax.tree.leaves(out[0])[0])[:1]
-        n = 30
-        t0 = time.perf_counter()
-        st = batched
-        for _ in range(n):
+    def measure(S: int, f: int, n: int = 30) -> float:
+        """Aggregate fps for S streams sharded over an (S, f) mesh."""
+        used = devs[:S * f]
+        mesh = Mesh(np.array(used).reshape(S, f), ("stream", "feat"))
+        shardings = ms.state_shardings(mesh)
+
+        def to_global(x, sh):
+            full = np.broadcast_to(np.asarray(x)[None],
+                                   (S,) + np.asarray(x).shape)
+            return jax.make_array_from_callback(
+                full.shape, sh, lambda idx: full[idx])
+
+        batched = jax.tree.map(lambda x, sh: to_global(x, sh), state_h,
+                               shardings)
+        img_pyrs = to_global(pyr_h, NamedSharding(
+            mesh, P("stream", None, None, None)))
+        qs = to_global(q_h, NamedSharding(mesh, P("stream", None)))
+        ts = to_global(t_h, NamedSharding(mesh, P("stream", None)))
+        fids = to_global(np.int32(1), NamedSharding(mesh, P("stream")))
+
+        with mesh:
             st, idepth, cov = ms.batched_frame_step(
-                st, img_pyrs, qs, ts, fids, cam=cam, params=params)
-        np.asarray(idepth[:1, :1, :1])
-        dt = time.perf_counter() - t0
-        fps = S * n / dt
-        results[S] = fps
-        print(json.dumps({"metric": f"multistream_fps_{S}",
-                          "value": round(fps, 2),
-                          "unit": "frames/s aggregate"}))
+                batched, img_pyrs, qs, ts, fids, cam=cam, params=params)
+            np.asarray(idepth.addressable_shards[0].data).ravel()[:1]
+            t0 = time.perf_counter()
+            for _ in range(n):
+                st, idepth, cov = ms.batched_frame_step(
+                    st, img_pyrs, qs, ts, fids, cam=cam, params=params)
+            np.asarray(idepth.addressable_shards[0].data).ravel()[:1]
+            dt = time.perf_counter() - t0
+        return S * n / dt
 
-    eff = results[8] / (8 * results[1]) if results.get(1) else 0.0
-    print(json.dumps({"metric": "batching_efficiency_8_streams",
+    results = {}
+    n_dev = len(devs)
+    stream_counts = [s for s in (1, 2, 4, 8) if s <= n_dev]
+    for S in stream_counts:
+        fps = measure(S, 1)
+        results[(S, 1)] = fps
+        print(json.dumps({"metric": f"multistream_fps_s{S}_f1",
+                          "value": round(fps, 2),
+                          "unit": "frames/s aggregate"}), flush=True)
+
+    # Feat-axis profitability: same stream count, 2 devices per stream.
+    S_half = max(n_dev // 2, 1)
+    if n_dev >= 2:
+        fps = measure(S_half, 2)
+        results[(S_half, 2)] = fps
+        print(json.dumps({"metric": f"multistream_fps_s{S_half}_f2",
+                          "value": round(fps, 2),
+                          "unit": "frames/s aggregate"}), flush=True)
+        base = results.get((S_half, 1))
+        if base:
+            print(json.dumps({
+                "metric": "feat_axis_speedup",
+                "value": round(fps / base, 3),
+                "unit": "ratio (same streams, 2x devices via feat axis)",
+            }), flush=True)
+
+    S_max = stream_counts[-1]
+    eff = results[(S_max, 1)] / (S_max * results[(1, 1)])
+    print(json.dumps({"metric": f"dp_scaling_efficiency_{S_max}x",
                       "value": round(eff, 3), "unit": "ratio",
-                      "vs_baseline": round(eff / 0.8, 3)}))
+                      "vs_baseline": round(eff / 0.8, 3)}), flush=True)
 
 
 if __name__ == "__main__":

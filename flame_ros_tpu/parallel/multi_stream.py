@@ -38,9 +38,14 @@ def make_mesh(devices=None, stream_axis: int | None = None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if stream_axis is None:
-        # Favor stream (pure dp) parallelism; feature sharding picks up the
-        # remainder when n has a factor of 2.
-        stream_axis = n if n % 2 else n // 2
+        # Default: pure stream-dp. Feature-axis model sharding measured
+        # UNPROFITABLE for throughput (bench_scaling feat_axis_speedup =
+        # 0.67: 2 streams over 4 devices with feat=2 run slower than over
+        # 2 devices with feat=1 — the per-sweep incidence all-gathers
+        # serialize against tiny compute). feat>1 remains available via
+        # stream_axis for memory-bound configs (e.g. huge feature
+        # capacities that do not fit one device's HBM).
+        stream_axis = n
     feat_axis = n // stream_axis
     arr = np.asarray(devices).reshape(stream_axis, feat_axis)
     return Mesh(arr, ("stream", "feat"))
