@@ -126,6 +126,51 @@ def main():
                       "value": round(eff, 3), "unit": "ratio",
                       "vs_baseline": round(eff / 0.8, 3)}), flush=True)
 
+    # ---- FULL-algorithm end-to-end (MultiStreamRunner): poseframes,
+    # detection, per-stream host Delaunay on the worker pool, packed
+    # topology uploads — the complete nodelet loop ×S streams. ----------
+    from flame_ros_tpu.config import FlameParams
+    from flame_ros_tpu.datasets.synthetic import make_sequence, QVGA
+    from flame_ros_tpu.geometry.se3 import SE3
+
+    seq = make_sequence(n_frames=14, cam=QVGA, motion="strafe")
+    e2e_params = FlameParams.from_dict({
+        "engine": {"max_features": 1024, "max_keyframes": 4},
+        "input": {"poseframe_subsample_factor": 6},
+    })
+
+    def measure_e2e(S: int, n: int = 26) -> float:
+        mesh = Mesh(np.array(devs[:S]).reshape(S, 1), ("stream", "feat"))
+        runner = ms.MultiStreamRunner(QVGA, S, params=e2e_params,
+                                      mesh=mesh,
+                                      deferred_triangulation=True)
+        frames = [
+            [(seq.timestamps[i], i,
+              SE3(np.asarray(seq.poses.q[i]), np.asarray(seq.poses.t[i])),
+              seq.images[i])] * S
+            for i in range(len(seq))]
+        for i in range(7):   # warm both pf and non-pf executables
+            runner.update(frames[i])
+        runner.get_idepth_maps()[0, 0, 0]
+        t0 = time.perf_counter()
+        for i in range(n):
+            runner.update(frames[7 + i % 7])
+        runner.get_idepth_maps()[0, 0, 0]
+        return S * n / (time.perf_counter() - t0)
+
+    e2e = {}
+    for S in stream_counts:
+        fps = measure_e2e(S)
+        e2e[S] = fps
+        print(json.dumps({"metric": f"e2e_full_fps_s{S}",
+                          "value": round(fps, 2),
+                          "unit": "frames/s aggregate (full algorithm)"}),
+              flush=True)
+    eff = e2e[S_max] / (S_max * e2e[1])
+    print(json.dumps({"metric": f"e2e_scaling_efficiency_{S_max}x",
+                      "value": round(eff, 3), "unit": "ratio",
+                      "vs_baseline": round(eff / 0.8, 3)}), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -238,6 +238,25 @@ def run_offline(frames: Iterable, cam, params: FlameParams,
     return res
 
 
+def with_pose_noise(frames: Iterable, sigma_trans: float,
+                    sigma_rot_deg: float, seed: int = 0):
+    """Pose-noise ablation wrapper (reference: the Gaussian SE3 noise
+    block in src/flame_offline_tum.cc:438-489, promoted to a first-class
+    runner mode per SURVEY §4.4): right-perturb every input pose by a
+    random SE3 tangent draw, leaving images/depths clean, so the run
+    measures robustness of the depth estimate to odometry error."""
+    from flame_ros_tpu.geometry.se3 import random_se3
+
+    rng = np.random.default_rng(seed)
+    sr = np.radians(sigma_rot_deg)
+    for frame in frames:
+        noise = random_se3(rng, sigma_rot=sr, sigma_trans=sigma_trans)
+        noisy = SE3.from_quat_trans(frame.quat, frame.trans) @ noise
+        frame.quat = np.asarray(noisy.q, np.float32)
+        frame.trans = np.asarray(noisy.t, np.float32)
+        yield frame
+
+
 def _build_frames(args):
     if args.dataset == "synthetic":
         from flame_ros_tpu.datasets.synthetic import make_sequence, QVGA, VGA
@@ -309,6 +328,12 @@ def main(argv=None):
     p.add_argument("--profile-stages", action="store_true",
                    help="populate the reference's 13-stage timing "
                         "vocabulary at debug rate (costs host syncs)")
+    p.add_argument("--pose-noise-sigma", type=float, default=0.0,
+                   help="pose-noise ablation: translation sigma in "
+                        "meters applied to every input pose")
+    p.add_argument("--pose-noise-rot-sigma", type=float, default=0.0,
+                   help="pose-noise ablation: rotation sigma in degrees")
+    p.add_argument("--pose-noise-seed", type=int, default=0)
     args = p.parse_args(argv)
     if args.dataset == "tum" and not args.input:
         p.error("--dataset tum requires --input <association file>")
@@ -322,6 +347,10 @@ def main(argv=None):
         params = _dc.replace(
             params, debug=_dc.replace(params.debug, profile_stages=True))
     frames, cam = _build_frames(args)
+    if args.pose_noise_sigma > 0 or args.pose_noise_rot_sigma > 0:
+        frames = with_pose_noise(frames, args.pose_noise_sigma,
+                                 args.pose_noise_rot_sigma,
+                                 seed=args.pose_noise_seed)
     if args.out:
         os.makedirs(args.out, exist_ok=True)
     if args.window > 0:

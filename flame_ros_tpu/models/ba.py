@@ -44,6 +44,36 @@ class BAResult(NamedTuple):
     n_valid: jax.Array
 
 
+@partial(jax.jit, static_argnames=("budget",))
+def gather_ba_inputs(kf_valid, kf_ids, feat_valid, feat_kf_idx, feat_uv,
+                     feat_mu, *, budget: int = 256):
+    """Device-side selection + packing of the BA window inputs.
+
+    Selects the reference keyframe (newest valid id) and up to `budget`
+    of its features ON DEVICE, returning one small packed f32 vector so
+    the host does a single D2H instead of pulling six full state arrays
+    (the axon link charges ~10 ms latency per pull). Layout:
+
+        [ K kf_valid | K kf_ids | ref_slot | n_sel
+          | budget*2 uv | budget d0 | budget point_valid ]
+    """
+    K = kf_valid.shape[0]
+    ref_slot = jnp.argmax(jnp.where(kf_valid, kf_ids, -1))
+    fv = feat_valid & (feat_kf_idx == ref_slot)
+    # Stable sort: selected features keep their original index order,
+    # matching np.flatnonzero(fv)[:budget] on the host.
+    order = jnp.argsort(~fv, stable=True)[:budget]
+    pv = fv[order]
+    uv = jnp.where(pv[:, None], feat_uv[order], 0.0)
+    d0 = jnp.where(pv, feat_mu[order], 0.5)
+    return jnp.concatenate([
+        kf_valid.astype(jnp.float32), kf_ids.astype(jnp.float32),
+        jnp.stack([ref_slot.astype(jnp.float32),
+                   fv.sum().astype(jnp.float32)]),
+        uv.astype(jnp.float32).ravel(), d0.astype(jnp.float32),
+        pv.astype(jnp.float32)])
+
+
 def _warp_residual(tau_j, d_p, uv_p, iref_p, q_j, t_j, ref_q, ref_t,
                    pyr_j, cam: Pinhole, level):
     """Residual of point p in frame j under pose perturbation tau_j and

@@ -87,7 +87,7 @@ def relative_poses(kf_q, kf_t, cur_q, cur_t):
 
 
 @partial(jax.jit, static_argnames=(
-    "cam", "num_samples", "patch_size", "num_levels"))
+    "cam", "num_samples", "patch_size", "num_levels", "gather_dtype"))
 def epipolar_update(
     state: FeatureFilterState,
     kf_pyrs,            # [K, L, H, W] keyframe pyramids
@@ -111,12 +111,22 @@ def epipolar_update(
     process_noise: float = 1e-4,
     min_baseline: float = 1e-3,
     min_var_ratio: float = 0.25,
+    gather_dtype: str = "float32",
 ) -> EpipolarResult:
     N = state.mu.shape[0]
     P = patch_size
     half = P // 2
     f32 = jnp.float32
     L, H, W = img_pyr.shape
+    # The candidate-patch gather ([N, S, P] bilinear samples) is the
+    # hottest memory access in the engine — random HBM reads, latency/
+    # bandwidth bound. gather_dtype="bfloat16" halves the gathered bytes
+    # (intensity quantization <= 1 gray level at 255, far below the
+    # epipolar_line_var photometric noise model); weights and SSD stay
+    # f32. Wired from EngineParams.compute_dtype.
+    if gather_dtype == "bfloat16":
+        img_pyr = img_pyr.astype(jnp.bfloat16)
+        kf_pyrs = kf_pyrs.astype(jnp.bfloat16)
 
     # --- per-feature relative geometry --------------------------------
     q_cr_k, t_cr_k, t_rc_k = relative_poses(kf_q, kf_t, cur_q, cur_t)

@@ -313,3 +313,166 @@ def rasterize_tri_ids_pallas_v3(vtx_pos, tris, tri_valid, *, height: int,
     out = jax.lax.cond(fits, run_v3, run_v2, operand=None)
     out = jnp.where(out > T, -1, out)
     return out.reshape(height, width)
+
+
+# ---------------------------------------------------------------------------
+# v4: gather-compacted per-tile candidate lists.
+#
+# Measured limits of v2/v3 (scripts/tpu_profile.py on v5e, VGA, ~2.5k
+# live tris): both run the VPU near peak (~700-900 GF/s effective), so
+# the only lever left is WORK — candidates evaluated per tile. Block
+# quantization keeps v2 at ~1.1k and v3 at ~650+ candidates/tile when the
+# exact overlap set is ~160. v4 removes the quantization entirely:
+#
+#   * triangles sort on device by (class, ymin) as in v3 (class 0 =
+#     y-extent <= long_thresh, 1 = long, 2 = invalid);
+#   * every per-tile candidate set of SHORT triangles is a contiguous
+#     position range [lo_pos, lo_pos + n] in sorted order with
+#     n <= cand_s, so ONE XLA gather materializes an exact
+#     [n_tiles, rows, cand_s] candidate slab (coefficients + validity +
+#     original ids stacked as rows) — ~3 MB at VGA, built once per call;
+#   * the few LONG triangles form one shared [rows, cand_l] slab given
+#     to every tile whole;
+#   * the kernel is a flat (n_tiles,) grid with NO in-kernel loops,
+#     dynamic slices, or masked-off steps. Edge functions are evaluated
+#     row-split: E(x, y_r) = x*a + d_r with d_r = y_r*b + c hoisted per
+#     pixel row — halving the per-candidate FMA count vs the naive
+#     ux*a + uy*b + c.
+#
+# Extra candidates in a slab are CORRECT by construction (the inside
+# test, not the culling, decides coverage; culling only removes work), so
+# clamped/duplicate gather columns are harmless. If a frame's geometry
+# exceeds the static slab budgets, the wrapper falls back to v2 for that
+# call via lax.cond — exactness is never sacrificed.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_v4(G_ref, L_ref, out_ref, *, row_tile: int, width: int,
+               big: int):
+    i = pl.program_id(0)
+    eps = jnp.float32(-1e-3)
+    BIG = jnp.float32(big)
+    ux = jax.lax.broadcasted_iota(
+        jnp.float32, (width, 1), 0)                    # [W, 1]
+
+    for r in range(row_tile):
+        uy = (i * row_tile + r).astype(jnp.float32)
+        best_r = None
+        for src, off in ((G_ref, 1), (L_ref, 0)):
+            inside = None
+            for e in range(3):
+                if off:
+                    a = src[0, 3 * e + 0:3 * e + 1, :]
+                    b = src[0, 3 * e + 1:3 * e + 2, :]
+                    c = src[0, 3 * e + 2:3 * e + 3, :]
+                else:
+                    a = src[3 * e + 0:3 * e + 1, :]
+                    b = src[3 * e + 1:3 * e + 2, :]
+                    c = src[3 * e + 2:3 * e + 3, :]
+                d = uy * b + c                          # [1, C]
+                E = ux * a + d                          # [W, C]
+                cond = E >= eps
+                inside = cond if inside is None else (inside & cond)
+            tv = (src[0, 9:10, :] if off else src[9:10, :]) > 0.0
+            ids = src[0, 10:11, :] if off else src[10:11, :]
+            cand = jnp.min(jnp.where(inside & tv, ids, BIG), axis=1,
+                           keepdims=True)              # [W, 1]
+            best_r = cand if best_r is None else jnp.minimum(best_r, cand)
+        out_ref[r * width:(r + 1) * width, :] = best_r.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "height", "width", "row_tile", "cand_s", "cand_l", "long_thresh",
+    "interpret"))
+def rasterize_tri_ids_pallas_v4(vtx_pos, tris, tri_valid, *, height: int,
+                                width: int, row_tile: int = 2,
+                                cand_s: int = 256, cand_l: int = 128,
+                                long_thresh: float = 32.0,
+                                interpret: bool = False):
+    """Gather-compacted exact-candidate rasterizer (see module comment)."""
+    T = tris.shape[0]
+    a = vtx_pos[tris[:, 0]]
+    b = vtx_pos[tris[:, 1]]
+    c = vtx_pos[tris[:, 2]]
+
+    def edge_coeffs(p0, p1):
+        dy = p1[:, 1] - p0[:, 1]
+        dx = p1[:, 0] - p0[:, 0]
+        return jnp.stack([-dy, dx, dy * p0[:, 0] - dx * p0[:, 1]], 0)
+
+    ys = jnp.stack([a[:, 1], b[:, 1], c[:, 1]], -1)
+    ymin = ys.min(-1)
+    ymax = ys.max(-1)
+    extent = ymax - ymin
+    OFF = jnp.float32(1e7)
+    klass = jnp.where(tri_valid,
+                      jnp.where(extent <= long_thresh, 0.0, 1.0), 2.0)
+    key = klass * OFF + jnp.clip(ymin, 0.0, OFF - 1.0)
+    perm = jnp.argsort(key)
+    key_s = key[perm]
+
+    # [12, T] master slab: 9 edge coefficients + validity + original id
+    # (+1 pad row for 4-sublane alignment), columns in sorted order.
+    M = jnp.concatenate([
+        edge_coeffs(a, b), edge_coeffs(b, c), edge_coeffs(c, a),
+        tri_valid.astype(jnp.float32)[None, :],
+        jnp.arange(T, dtype=jnp.float32)[None, :],
+        jnp.zeros((1, T), jnp.float32),
+    ], axis=0)[:, perm]
+
+    n_short = jnp.searchsorted(key_s, OFF - 0.5).astype(jnp.int32)
+    n_live = jnp.searchsorted(key_s, 2 * OFF - 0.5).astype(jnp.int32)
+    n_long = n_live - n_short
+
+    n_tiles = height // row_tile
+    tile_y0 = jnp.arange(n_tiles, dtype=jnp.float32) * row_tile
+    lo_pos = jnp.searchsorted(
+        key_s, jnp.clip(tile_y0 - long_thresh, 0.0, None)).astype(jnp.int32)
+    hi_pos = jnp.minimum(
+        jnp.searchsorted(key_s, tile_y0 + row_tile).astype(jnp.int32),
+        n_short)
+    fits = (jnp.max(hi_pos - lo_pos) <= cand_s) & (n_long <= cand_l)
+
+    def run_v4(_):
+        cs = min(cand_s, T)
+        cl = min(cand_l, T)
+        # Exact short-candidate slab: one gather. Clamped/duplicate
+        # columns past each tile's range are harmless (see module note);
+        # positions >= n_short are long/invalid and carry tvalid=0 only
+        # if invalid — longs are already in L, and re-testing a long in
+        # G would still be correct, merely redundant.
+        idx = jnp.clip(lo_pos[:, None] + jnp.arange(cs)[None, :],
+                       0, T - 1)                       # [n_tiles, cs]
+        G = M[:, idx].transpose(1, 0, 2)               # [n_tiles, 12, cs]
+        lidx = jnp.clip(n_short + jnp.arange(cl), 0, T - 1)
+        lvalid = (jnp.arange(cl) < n_long).astype(jnp.float32)
+        L = M[:, lidx]
+        L = L.at[9].multiply(lvalid)                   # [12, cl]
+
+        kernel = functools.partial(
+            _kernel_v4, row_tile=row_tile, width=width, big=T + 1)
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((1, 12, cs), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((12, cl), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((row_tile * width, 1),
+                                   lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((height * width, 1), jnp.int32),
+            interpret=interpret,
+        )(G, L)
+        return out
+
+    def run_v2(_):
+        return rasterize_tri_ids_pallas(
+            vtx_pos, tris, tri_valid, height=height, width=width,
+            interpret=interpret).reshape(height * width, 1)
+
+    out = jax.lax.cond(fits, run_v4, run_v2, operand=None)
+    out = jnp.where(out > T, -1, out)
+    return out.reshape(height, width)

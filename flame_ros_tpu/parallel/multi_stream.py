@@ -117,3 +117,247 @@ def place(tree, shardings):
     return jax.tree.map(
         lambda x, sh: jax.device_put(x, sh), tree, shardings,
         is_leaf=lambda x: isinstance(x, (jnp.ndarray, np.ndarray)))
+
+
+@partial(jax.jit, static_argnames=("cam", "params", "is_pf", "has_gt"))
+def batched_full_step(states: EngineState, packed, gt_batch, *,
+                      cam: Pinhole, params: FlameParams, is_pf: bool,
+                      has_gt: bool):
+    """One FULL engine frame (track + smooth, poseframe branch included)
+    for a batch of streams, from packed per-stream upload rows
+    [S, H*W image bytes | 40 meta bytes]. Poseframes are ALIGNED across
+    streams (is_pf is static), so the poseframe branch compiles in
+    exactly like the single-stream windowed path — no lax.cond under
+    vmap."""
+    H, W = cam.height, cam.width
+
+    def one(state, row, gt):
+        img = row[:H * W].reshape(H, W).astype(jnp.float32)
+        meta = jax.lax.bitcast_convert_type(
+            row[H * W:].reshape(eng_mod.META_LEN, 4), jnp.float32)
+        cur_q = meta[:4]
+        cur_t = meta[4:7]
+        frame_id = meta[7].astype(jnp.int32)
+        kf_slot = meta[9].astype(jnp.int32)
+        from flame_ros_tpu.ops.pyramid import build_pyramid
+        img_pyr = build_pyramid(img, eng_mod.NUM_LEVELS)
+        state, status, uv_match, counts_vec, dets = \
+            eng_mod._track_step.__wrapped__(
+                state, img_pyr, cur_q, cur_t, frame_id, kf_slot, is_pf,
+                eng_mod._ZERO_IMG(cam), cam=cam, params=params,
+                use_truth=False)
+        state, idepth, stats_vec = eng_mod._smooth_step.__wrapped__(
+            state, img_pyr, cur_q, cur_t, counts_vec, gt,
+            cam=cam, params=params, has_gt=has_gt)
+        return state, (idepth, stats_vec)
+
+    return jax.vmap(one)(states, packed, gt_batch)
+
+
+@partial(jax.jit, static_argnames=("T", "E", "N", "D"))
+def _batched_install(states: EngineState, bufs, *, T: int, E: int,
+                     N: int, D: int):
+    """Install one packed topology upload per stream (vmapped unpack +
+    dual reset)."""
+    def one(state, buf):
+        tris, tv, edges, ev, inc_e, inc_s = \
+            eng_mod._unpack_topology.__wrapped__(buf, T=T, E=E, N=N, D=D)
+        return state._replace(
+            tris=tris, tri_valid=tv, edges=edges, edge_valid=ev,
+            inc_edges=inc_e, inc_sign=inc_s,
+            edge_q=jnp.zeros_like(state.edge_q))
+
+    return jax.vmap(one)(states, bufs)
+
+
+class MultiStreamRunner:
+    """End-to-end N-stream orchestrator: every stream runs the FULL
+    algorithm (epipolar filtering, poseframe detection, per-stream host
+    Delaunay, NLTGV2 smoothing, rasterization) with stream-dp sharding
+    over a device mesh.
+
+    The reference is strictly single-stream (one nodelet per camera,
+    SURVEY §2.10); this is the TPU-native scale-out: one engine dispatch
+    advances all streams, host triangulation runs per-stream on a worker
+    pool between dispatches, and all host<->device traffic is packed —
+    ONE [S, ...] image upload per frame, ONE packed D2H + ONE packed
+    topology upload per poseframe round.
+
+    Poseframes are aligned across streams (same cadence), which keeps
+    the compiled step free of per-stream control flow."""
+
+    def __init__(self, cam: Pinhole, num_streams: int,
+                 params: FlameParams | None = None, mesh: Mesh | None = None,
+                 deferred_triangulation: bool = False):
+        self.cam = cam
+        self.S = num_streams
+        self.params = (params or FlameParams()).resolved(
+            jax.default_backend())
+        self.mesh = mesh
+        # Deferred mode (mirrors Flame.deferred_triangulation): the
+        # poseframe D2H + S Delaunay builds run on the worker pool while
+        # the NEXT frames' dispatches proceed; topology installs one
+        # frame late (FLaME already smooths over stale topology between
+        # poseframes), taking the host work off the critical path.
+        self.deferred = deferred_triangulation
+        self._pending_topo = None
+        self.states = init_batched_state(num_streams, self.params, cam)
+        if mesh is not None:
+            self.states = place(self.states, state_shardings(mesh))
+        self._row_sharding = (
+            NamedSharding(mesh, P("stream", None)) if mesh is not None
+            else None)
+        self._num_poseframes = 0
+        self._kf_slot = 0
+        self._frame_count = 0
+        self._tri_pool = None
+        self.last_stats = None   # [S, len(DEVICE_STATS_KEYS)] device
+        self.last_idepth = None  # [S, H, W] device
+
+    def update(self, frames, gt_depths=None) -> bool:
+        """Advance every stream by one frame.
+
+        frames: length-S list of (time, img_id, pose: SE3, gray) tuples.
+        The poseframe schedule is internal: every
+        input.poseframe_subsample_factor-th processed frame is a
+        poseframe for ALL streams."""
+        assert len(frames) == self.S
+        if self._pending_topo is not None:
+            self._install_topologies(self._pending_topo.result())
+            self._pending_topo = None
+        pf_every = max(self.params.input.poseframe_subsample_factor, 1)
+        is_pf = (self._frame_count % pf_every == 0)
+        kf_slot = self._kf_slot
+        if is_pf:
+            self._num_poseframes += 1
+            self._kf_slot = ((self._kf_slot + 1)
+                             % self.params.engine.max_keyframes)
+        H, W = self.cam.height, self.cam.width
+        packed = np.empty((self.S, H * W + eng_mod.META_LEN * 4), np.uint8)
+        for s, (time, img_id, pose, gray) in enumerate(frames):
+            g = np.asarray(gray)
+            packed[s, :H * W] = (
+                g.ravel() if g.dtype == np.uint8
+                else np.clip(g, 0, 255).astype(np.uint8).ravel())
+            packed[s, H * W:] = eng_mod.pack_frame_meta(
+                np.asarray(pose.q), np.asarray(pose.t), img_id, is_pf,
+                kf_slot)
+        packed_dev = (jax.device_put(packed, self._row_sharding)
+                      if self._row_sharding is not None
+                      else jax.device_put(packed))
+        has_gt = gt_depths is not None
+        gt_dev = (jnp.asarray(np.asarray(gt_depths, np.float32))
+                  if has_gt else jnp.zeros((self.S, H, W), jnp.float32))
+        self.states, (idepth, stats) = batched_full_step(
+            self.states, packed_dev, gt_dev, cam=self.cam,
+            params=self.params, is_pf=is_pf, has_gt=has_gt)
+        self.last_idepth = idepth
+        self.last_stats = stats
+        self._frame_count += 1
+        if is_pf:
+            if self.deferred:
+                self._ensure_pool()
+                graph_dev = (self.states.vtx_uv, self.states.vtx_in_graph)
+                self._pending_topo = self._tri_pool.submit(
+                    self._build_topologies, graph_dev)
+            else:
+                self._install_topologies(self._build_topologies(
+                    (self.states.vtx_uv, self.states.vtx_in_graph)))
+        return True
+
+    def _ensure_pool(self):
+        if self._tri_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            # +1 worker for the deferred orchestrator task itself.
+            self._tri_pool = ThreadPoolExecutor(
+                max_workers=min(self.S, 8) + 1,
+                thread_name_prefix="flame-ms-tri")
+
+    def _build_topologies(self, graph_dev) -> np.ndarray:
+        """Per-stream host Delaunay: ONE packed D2H for all streams, the
+        Delaunay/incidence builds fan out on a thread pool, and all S
+        packed topologies come back as one [S, ...] int32 batch."""
+        vtx_uv, vtx_in_graph = graph_dev
+        N = self.params.engine.max_features
+        buf = np.asarray(jnp.concatenate(
+            [vtx_uv.reshape(self.S, -1),
+             vtx_in_graph.astype(jnp.float32)], axis=1))
+        uv = buf[:, :2 * N].reshape(self.S, N, 2)
+        elig = buf[:, 2 * N:] > 0.5
+        self._ensure_pool()
+        builder = _HostTopologyBuilder(self.params)
+        topos = list(self._tri_pool.map(
+            lambda s: builder.build(uv[s], elig[s]), range(self.S)))
+        return np.stack(topos)
+
+    def _install_topologies(self, bufs: np.ndarray):
+        bufs_dev = (jax.device_put(bufs, self._row_sharding)
+                    if self._row_sharding is not None
+                    else jax.device_put(bufs))
+        e = self.params.engine
+        self.states = _batched_install(
+            self.states, bufs_dev, T=e.max_triangles, E=e.max_edges,
+            N=e.max_features, D=e.max_vertex_degree)
+
+    def flush_stats(self) -> list[dict]:
+        """One D2H: per-stream stats dicts for the last frame."""
+        if self.last_stats is None:
+            return []
+        arr = np.asarray(self.last_stats)
+        return [dict(zip(eng_mod.DEVICE_STATS_KEYS, map(float, row)))
+                for row in arr]
+
+    def get_idepth_maps(self) -> np.ndarray:
+        return np.asarray(self.last_idepth)
+
+    def get_meshes(self):
+        """Per-stream compacted meshes (one packed D2H of the graph
+        state): list of (uv [V,2], idepth [V], tris [M,3])."""
+        vb = np.asarray(self.states.vtx_uv)
+        xb = np.asarray(self.states.vtx_x)
+        gb = np.asarray(self.states.vtx_in_graph)
+        tb = np.asarray(self.states.tris)
+        tvb = np.asarray(self.states.tri_valid)
+        out = []
+        for s in range(self.S):
+            out.append((vb[s][gb[s]], xb[s][gb[s]], tb[s][tvb[s]]))
+        return out
+
+
+class _HostTopologyBuilder:
+    """Stateless per-stream topology build (Delaunay + incidence + pack),
+    shared by the multi-stream runner's worker pool."""
+
+    def __init__(self, params: FlameParams):
+        self.params = params
+
+    def build(self, uv: np.ndarray, eligible: np.ndarray) -> np.ndarray:
+        from flame_ros_tpu.graph.delaunay import (triangulate,
+                                                  edges_from_triangles)
+        from flame_ros_tpu.ops import nltgv2 as reg_ops
+        e = self.params.engine
+        N, E, T = e.max_features, e.max_edges, e.max_triangles
+        idx = np.flatnonzero(eligible)
+        tris_pad = np.zeros((T, 3), np.int32)
+        tv = np.zeros(T, bool)
+        edges_pad = np.zeros((E, 2), np.int32)
+        ev = np.zeros(E, bool)
+        if len(idx) >= 3:
+            tris_local = triangulate(uv[idx])
+            edges_local = edges_from_triangles(tris_local)
+            tris_g = idx[tris_local][:T]
+            edges_g = idx[edges_local][:E]
+            if len(tris_g):
+                ymin = uv[tris_g, 1].min(axis=1)
+                tris_g = tris_g[np.argsort(ymin, kind="stable")]
+            tris_pad[:len(tris_g)] = tris_g
+            tv[:len(tris_g)] = True
+            edges_pad[:len(edges_g)] = edges_g
+            ev[:len(edges_g)] = True
+        inc_e, inc_s, keep = reg_ops.build_incidence(
+            edges_pad, ev, N, e.max_vertex_degree)
+        ev &= keep
+        return np.concatenate([
+            tris_pad.ravel(), tv.astype(np.int32),
+            edges_pad.ravel(), ev.astype(np.int32),
+            inc_e.ravel(), inc_s.astype(np.int32).ravel()])

@@ -100,6 +100,27 @@ def main():
             emit("raster_pallas_v2", ms)
         except Exception as e:
             emit("raster_pallas_v2", -1.0, error=str(e)[:200])
+        for (cs, cl, lt, rt) in [(256, 128, 32.0, 2), (384, 128, 48.0, 2),
+                                 (256, 128, 32.0, 4), (128, 128, 16.0, 2)]:
+            try:
+                out4 = rp.rasterize_tri_ids_pallas_v4(
+                    st.vtx_uv, st.tris, st.tri_valid, height=H, width=W,
+                    cand_s=cs, cand_l=cl, long_thresh=lt, row_tile=rt)
+                out2 = rp.rasterize_tri_ids_pallas(
+                    st.vtx_uv, st.tris, st.tri_valid, height=H, width=W)
+                agree = bool(jnp.mean((out4 == out2).astype(
+                    jnp.float32)) > 0.9999)
+                ms = _time_op(lambda cs=cs, cl=cl, lt=lt, rt=rt:
+                              rp.rasterize_tri_ids_pallas_v4(
+                                  st.vtx_uv, st.tris, st.tri_valid,
+                                  height=H, width=W, cand_s=cs, cand_l=cl,
+                                  long_thresh=lt, row_tile=rt),
+                              iters=iters)
+                emit(f"raster_v4_cs{cs}_cl{cl}_lt{int(lt)}_rt{rt}", ms,
+                     agree_v2=agree)
+            except Exception as e:
+                emit(f"raster_v4_cs{cs}_cl{cl}_lt{int(lt)}_rt{rt}", -1.0,
+                     error=str(e)[:200])
         try:
             out3 = rp.rasterize_tri_ids_pallas_v3(
                 st.vtx_uv, st.tris, st.tri_valid, height=H, width=W)
@@ -121,12 +142,13 @@ def main():
         q = jnp.asarray(seq.poses.q[25], jnp.float32)
         t = jnp.asarray(seq.poses.t[25], jnp.float32)
         for ns in (32, 16):
-            ms = _time_op(
-                lambda ns=ns: ep_ops.epipolar_update(
-                    st.feat, st.kf_pyrs, st.kf_q, st.kf_t, img_pyr, q, t,
-                    cam=VGA, num_samples=ns),
-                iters=iters, pull=lambda r: r.state.mu)
-            emit(f"epipolar_s{ns}", ms)
+            for gd in ("float32", "bfloat16"):
+                ms = _time_op(
+                    lambda ns=ns, gd=gd: ep_ops.epipolar_update(
+                        st.feat, st.kf_pyrs, st.kf_q, st.kf_t, img_pyr,
+                        q, t, cam=VGA, num_samples=ns, gather_dtype=gd),
+                    iters=iters, pull=lambda r: r.state.mu)
+                emit(f"epipolar_s{ns}_{gd}", ms)
 
     # --- NLTGV2 PD ------------------------------------------------------
     if only is None or "pd" in only:

@@ -370,3 +370,15 @@ def test_profile_stages_populates_timing_vocabulary(seq):
     assert t["median_filter"] == 0.0 or t["median_filter"] >= 0.0
     rec = engine.stats_.to_record(7, 0.0)
     assert rec["update_idepths_ms"] == t["update_idepths"]
+
+
+def test_bfloat16_gathers_match_accuracy(seq):
+    """compute_dtype=bfloat16 (bf16 epipolar patch gathers) must not
+    change dense accuracy materially vs float32 (quantization <= 1 gray
+    level, far below the photometric noise model)."""
+    engine = _run(seq, _small_params(engine={"compute_dtype": "bfloat16"}))
+    est, gt, m = _dense_err(engine, seq, 17)
+    assert m.mean() > 0.4, f"coverage {m.mean()}"
+    err = np.abs(est - gt)[m]
+    assert np.median(err) < 0.02, f"median dense idepth err {np.median(err)}"
+    assert (err < 0.1).mean() > 0.85

@@ -1,0 +1,121 @@
+"""End-to-end multi-stream orchestrator tests (VERDICT r1 item 4).
+
+The reference runs one nodelet per camera (flame_nodelet.cc:510-610);
+MultiStreamRunner is the TPU-native N-stream scale-out: one vmapped
+dispatch advances all streams through the FULL algorithm (epipolar
+filtering, poseframe detection, host Delaunay, NLTGV2, raster)."""
+import numpy as np
+import jax
+import pytest
+
+from flame_ros_tpu.config import FlameParams
+from flame_ros_tpu.datasets.synthetic import make_sequence, QVGA
+from flame_ros_tpu.geometry.se3 import SE3
+from flame_ros_tpu.models.engine import Flame
+from flame_ros_tpu.parallel import multi_stream as ms
+
+
+def _params():
+    return FlameParams.from_dict({
+        "engine": {"max_features": 512, "max_keyframes": 4,
+                   "pd_iters_per_frame": 30},
+        "input": {"poseframe_subsample_factor": 6},
+    })
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return make_sequence(n_frames=14, cam=QVGA, motion="strafe")
+
+
+def _frames(seq, i):
+    return (seq.timestamps[i], i,
+            SE3(np.asarray(seq.poses.q[i]), np.asarray(seq.poses.t[i])),
+            seq.images[i])
+
+
+def test_runner_end_to_end(seq):
+    """Two streams through 13 frames (3 poseframe rounds): both produce
+    dense, finite idepth with real coverage, meshes and stats."""
+    runner = ms.MultiStreamRunner(seq.cam, num_streams=2, params=_params())
+    for i in range(13):
+        f = _frames(seq, i)
+        # stream 1 runs one frame behind -> genuinely different state
+        g = _frames(seq, max(i - 1, 0))
+        assert runner.update([f, g])
+    maps = runner.get_idepth_maps()
+    assert maps.shape == (2, seq.cam.height, seq.cam.width)
+    gt = 1.0 / np.maximum(seq.depths[12], 1e-6)
+    m = np.isfinite(maps[0]) & (seq.depths[12] > 0)
+    assert m.mean() > 0.4, f"coverage {m.mean()}"
+    err = np.abs(maps[0] - gt)[m]
+    assert np.median(err) < 0.05, f"median idepth err {np.median(err)}"
+    stats = runner.flush_stats()
+    assert len(stats) == 2 and stats[0]["coverage"] > 0.3
+    meshes = runner.get_meshes()
+    assert len(meshes) == 2
+    for uv, x, tris in meshes:
+        assert len(uv) >= 3 and len(tris) >= 1
+        assert np.isfinite(x).all()
+
+
+def test_runner_matches_single_engine(seq):
+    """Stream 0 of the batched runner must track the single-stream engine
+    closely on identical input (same schedule, same params)."""
+    params = _params()
+    runner = ms.MultiStreamRunner(seq.cam, num_streams=2, params=params)
+    engine = Flame(seq.cam.width, seq.cam.height, cam=seq.cam,
+                   params=params)
+    for i in range(13):
+        f = _frames(seq, i)
+        runner.update([f, f])
+        ok = engine.update(seq.timestamps[i], i,
+                           SE3(seq.poses.q[i], seq.poses.t[i]),
+                           seq.images[i], is_poseframe=(i % 6 == 0))
+        assert ok
+    got = runner.get_idepth_maps()[0]
+    want = engine.get_inverse_depth_map()
+    m = np.isfinite(got) & np.isfinite(want)
+    assert m.mean() > 0.4
+    # Same math modulo triangulation-order ties: dense maps agree.
+    diff = np.abs(got - want)[m]
+    assert np.median(diff) < 1e-3, f"median map diff {np.median(diff)}"
+
+
+def test_runner_sharded_on_mesh(seq):
+    """Stream-dp over the 8-device CPU mesh: sharded run equals the
+    unsharded run."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device mesh")
+    params = _params()
+    mesh = ms.make_mesh(jax.devices()[:2], stream_axis=2)
+    sharded = ms.MultiStreamRunner(seq.cam, num_streams=2, params=params,
+                                   mesh=mesh)
+    plain = ms.MultiStreamRunner(seq.cam, num_streams=2, params=params)
+    for i in range(8):
+        f = _frames(seq, i)
+        g = _frames(seq, max(i - 1, 0))
+        sharded.update([f, g])
+        plain.update([f, g])
+    a = sharded.get_idepth_maps()
+    b = plain.get_idepth_maps()
+    m = np.isfinite(a) & np.isfinite(b)
+    assert m.mean() > 0.3
+    np.testing.assert_allclose(a[m], b[m], atol=1e-4)
+
+
+def test_runner_deferred_triangulation(seq):
+    """Deferred mode: host Delaunay overlaps the next frame's dispatch;
+    topology installs one frame late but the run stays accurate."""
+    runner = ms.MultiStreamRunner(seq.cam, num_streams=2, params=_params(),
+                                  deferred_triangulation=True)
+    for i in range(13):
+        f = _frames(seq, i)
+        assert runner.update([f, f])
+    maps = runner.get_idepth_maps()
+    gt = 1.0 / np.maximum(seq.depths[12], 1e-6)
+    m = np.isfinite(maps[0]) & (seq.depths[12] > 0)
+    assert m.mean() > 0.4
+    assert np.median(np.abs(maps[0] - gt)[m]) < 0.05
+    for uv, x, tris in runner.get_meshes():
+        assert len(tris) >= 1

@@ -113,3 +113,25 @@ def test_runner_tum_dataset(tmp_path, rng, capsys):
     assert summary["idepth_rmse"] is not None
     assert summary["idepth_rmse"] < 0.2
     assert (out / "stats.txt").exists()
+
+
+def test_pose_noise_ablation(tmp_path, capsys):
+    """--pose-noise-sigma: the pose-corruption harness the reference
+    keeps in src/flame_offline_tum.cc:438-489, promoted to a runner
+    mode. Noise must measurably degrade accuracy (the ablation has
+    signal) while the run itself stays healthy (graceful degradation)."""
+    main(["--dataset", "synthetic", "--frames", "14",
+          "--out", str(tmp_path / "clean")])
+    clean = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])
+    main(["--dataset", "synthetic", "--frames", "14",
+          "--out", str(tmp_path / "noisy"),
+          "--pose-noise-sigma", "0.01",
+          "--pose-noise-rot-sigma", "0.5",
+          "--pose-noise-seed", "3"])
+    noisy = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])
+    assert noisy["frames"] == 14
+    assert noisy["idepth_rmse"] > clean["idepth_rmse"]
+    assert noisy["coverage"] > 0.3
+    assert noisy["idepth_rmse"] < 10 * max(clean["idepth_rmse"], 0.01)

@@ -104,3 +104,50 @@ def test_pallas_v3_budget_fallback(rng):
         pos, tris, tv, height=96, width=128,
         s_blocks=1, l_blocks=1, tri_block=32, interpret=True))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_pallas_v4_matches_xla(rng):
+    """Gather-compacted exact-candidate kernel: bit-identical to the XLA
+    formulation, unsorted input (v4 sorts on device per call)."""
+    from flame_ros_tpu.ops.raster_pallas import rasterize_tri_ids_pallas_v4
+    pos, tris, tv = _mesh(rng)
+    ref = np.asarray(rasterize_tri_ids(pos, tris, tv, height=96, width=128))
+    out = np.asarray(rasterize_tri_ids_pallas_v4(
+        pos, tris, tv, height=96, width=128, interpret=True))
+    np.testing.assert_array_equal(out, ref)
+    assert (ref >= 0).mean() > 0.5
+
+
+def test_pallas_v4_long_triangles(rng):
+    """Tall triangles route through the shared long slab; exact output."""
+    from flame_ros_tpu.ops.raster_pallas import rasterize_tri_ids_pallas_v4
+    H, W, T = 96, 128, 256
+    pts = rng.uniform(4, [W - 4, H - 4], (40, 2)).astype(np.float32)
+    pts[:6, 1] = 2.0
+    pts[6:12, 1] = H - 3.0
+    tris = triangulate(pts)
+    tris_pad = np.zeros((T, 3), np.int32)
+    tris_pad[:len(tris)] = tris
+    tv = np.zeros(T, bool)
+    tv[:len(tris)] = True
+    pos = np.zeros((256, 2), np.float32)
+    pos[:len(pts)] = pts
+    ref = np.asarray(rasterize_tri_ids(
+        jnp.asarray(pos), jnp.asarray(tris_pad), jnp.asarray(tv),
+        height=H, width=W))
+    out = np.asarray(rasterize_tri_ids_pallas_v4(
+        jnp.asarray(pos), jnp.asarray(tris_pad), jnp.asarray(tv),
+        height=H, width=W, long_thresh=24.0, interpret=True))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_pallas_v4_budget_fallback(rng):
+    """Geometry exceeding the static candidate budgets falls back to v2
+    (exactness over speed)."""
+    from flame_ros_tpu.ops.raster_pallas import rasterize_tri_ids_pallas_v4
+    pos, tris, tv = _mesh(rng)
+    ref = np.asarray(rasterize_tri_ids(pos, tris, tv, height=96, width=128))
+    out = np.asarray(rasterize_tri_ids_pallas_v4(
+        pos, tris, tv, height=96, width=128, cand_s=128, cand_l=128,
+        long_thresh=1000.0, interpret=True))
+    np.testing.assert_array_equal(out, ref)
