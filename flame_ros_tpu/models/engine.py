@@ -502,7 +502,8 @@ def _smooth_step(state: EngineState, img_pyr, cur_q, cur_t, track_counts,
     idepth_map, idmap = raster_ops.rasterize_idepth(
         state.vtx_uv, vtx_x, state.tris, state.tri_valid,
         height=cam.height, width=cam.width,
-        use_pallas=eng.use_pallas_raster)
+        use_pallas=eng.use_pallas_raster,
+        pallas_kernel=eng.pallas_raster_kernel)
     cov = raster_ops.coverage(idepth_map)
 
     # --- photometric error (vs most recent keyframe) -------------------

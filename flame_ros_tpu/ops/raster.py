@@ -122,12 +122,21 @@ def rasterize_tri_ids(vtx_pos, tris, tri_valid, *, height: int, width: int,
     return idmap.reshape(height, width)
 
 
-@partial(jax.jit, static_argnames=("height", "width", "use_pallas"))
+@partial(jax.jit, static_argnames=("height", "width", "use_pallas",
+                                   "pallas_kernel"))
 def rasterize_idepth(vtx_pos, vtx_x, tris, tri_valid, *, height: int,
-                     width: int, use_pallas: bool = False):
+                     width: int, use_pallas: bool = False,
+                     pallas_kernel: str = "v2"):
     """Dense inverse-depth map [H, W] (NaN outside the mesh) + id buffer."""
     planes, pvalid = triangle_planes(vtx_pos, vtx_x, tris, tri_valid)
-    if use_pallas:
+    if use_pallas and pallas_kernel == "v4":
+        # v4 (gather-compacted exact candidate lists; in-graph v2
+        # fallback when geometry exceeds the slab budgets).
+        from flame_ros_tpu.ops.raster_pallas import (
+            rasterize_tri_ids_pallas_v4)
+        idmap = rasterize_tri_ids_pallas_v4(vtx_pos, tris, pvalid,
+                                            height=height, width=width)
+    elif use_pallas:
         # v2 (block-range culling) — measured faster than v3's per-tile
         # binning at product topology sizes (7.3 vs 8.5 ms at VGA/2.5k
         # tris on v5e; v3's device re-sort + scalar-prefetch overhead
