@@ -19,6 +19,7 @@ import numpy as np
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from flame_ros_tpu.config import FlameParams
     from flame_ros_tpu.datasets.synthetic import make_sequence, VGA
@@ -110,9 +111,12 @@ def main():
         t_up0 = time.perf_counter()
         for h in handles:
             for fut, gfut, *_ in h:
-                fut.result()
+                # device_put is async — force each transfer to actually
+                # land with a 4-byte dependent pull (block_until_ready is
+                # a no-op on tunneled PJRT backends).
+                np.asarray(jnp.ravel(fut.result())[:1])
                 if gfut is not None:
-                    gfut.result()
+                    np.asarray(jnp.ravel(gfut.result())[:1])
         up_s = time.perf_counter() - t_up0
         n_warm_w = warmup // win_size
         t0 = None
@@ -122,13 +126,23 @@ def main():
                 t0 = time.perf_counter()
             engine.update_window(prefetched=h)
         np.asarray(engine.state.vtx_x[:1])
-        return n_timed / (time.perf_counter() - t0), up_s / len(starts)
+        t1 = time.perf_counter()
+        # The chain is async; the closing pull pays one full link RTT
+        # that is measurement scaffolding, not engine work (the device
+        # is idle now — re-pulling measures pure link latency). Subtract
+        # it so the metric reflects chip throughput, not relay health.
+        t2 = time.perf_counter()
+        np.asarray(engine.state.vtx_x[:1])
+        rtt = time.perf_counter() - t2
+        return (n_timed / max(t1 - t0 - rtt, 1e-6),
+                up_s / len(starts), rtt)
 
     results = {}
-    h2d_ms = None
+    h2d_ms = rtt_ms = None
     try:
-        results["dev"], h2d_s = run_device_mode(60)
+        results["dev"], h2d_s, rtt_s = run_device_mode(240)
         h2d_ms = round(h2d_s * 1e3, 1)
+        rtt_ms = round(rtt_s * 1e3, 1)
     except Exception:
         engine._prefetch_issued.clear()
     # End-to-end modes (include the relay link): double-buffered
@@ -148,6 +162,8 @@ def main():
         "vs_baseline": round(fps / 30.0, 3),
         "e2e_fps_via_relay": {str(k): round(v, 2) for k, v in e2e.items()},
         "h2d_ms_per_window": h2d_ms,
+        "link_rtt_ms": rtt_ms,
+        "tri_dropped": engine._tri_dropped,
     }))
 
 

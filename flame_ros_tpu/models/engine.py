@@ -43,6 +43,11 @@ from flame_ros_tpu.ops.pyramid import build_pyramid, bilinear_pyramid
 from flame_ros_tpu.utils.stats_tracker import StatsTracker
 
 NUM_LEVELS = 3
+# Deferred-triangulation pipeline depth: how many poseframes' topology
+# round-trips (D2H + host Delaunay + H2D) may be in flight before
+# scheduling a new one blocks. Depth 2 hides one full round-trip behind
+# two poseframe periods of compute on high-latency links.
+_MAX_TRI_INFLIGHT = 2
 
 
 @partial(jax.jit, static_argnames=("cam",))
@@ -680,7 +685,8 @@ class Flame:
     def __init__(self, width: int, height: int, K=None, Kinv=None,
                  params: Optional[FlameParams] = None,
                  cam: Optional[Pinhole] = None,
-                 deferred_triangulation: bool = False):
+                 deferred_triangulation: bool = False,
+                 tri_backpressure: str = "drop"):
         if cam is None:
             if K is None:
                 raise ValueError("provide K or cam")
@@ -699,10 +705,13 @@ class Flame:
         # host lazily (D2H over a tunneled link is the bottleneck, not
         # compute; see DEVICE_STATS_KEYS).
         # Deferred mode: the triangulation round-trip overlaps the next
-        # window's compute (topology staleness grows by one window —
-        # FLaME already smooths over stale topology between poseframes).
+        # windows' compute (topology staleness grows by up to
+        # _MAX_TRI_INFLIGHT poseframe periods on a slow link — FLaME
+        # already smooths over stale topology between poseframes).
         self.deferred_triangulation = deferred_triangulation
-        self._pending_tri = None
+        self.tri_backpressure = tri_backpressure  # "drop" | "block"
+        self._pending_tri = deque()  # in-flight deferred jobs, oldest first
+        self._tri_dropped = 0  # retriangulations skipped under link pressure
         # Double-buffered H2D: prefetch_window() packs a future window and
         # starts its upload on this single worker thread so link latency
         # overlaps the in-flight window's compute (high-latency links).
@@ -957,24 +966,25 @@ class Flame:
         return frames
 
     def _apply_pending_triangulation(self, block: bool = True):
-        """Install the topology built by the previous window's deferred
-        triangulation job (D2H pull + host Delaunay + packed upload, all
+        """Install topology built by earlier windows' deferred
+        triangulation jobs (D2H pull + host Delaunay + packed upload, all
         of which ran on the worker thread behind this window's compute).
+        Completed jobs install in issue order.
 
-        With block=False an unfinished job is left pending (the dispatch
+        With block=False unfinished jobs are left pending (the dispatch
         proceeds on stale topology — FLaME smooths over stale topology by
         design) so the round-trip never sits on the dispatch critical
-        path. _schedule_triangulation drains it with block=True right
-        AFTER the next window is dispatched, overlapping the wait with
-        that window's device compute."""
-        if self._pending_tri is None:
-            return
-        if not block and not self._pending_tri.done():
-            self._stale_tri_windows += 1
-            return
-        fut = self._pending_tri
-        self._pending_tri = None
-        self._install_topology(fut.result())
+        path. With block=True every pending job drains."""
+        applied = False
+        while self._pending_tri:
+            fut = self._pending_tri[0]
+            if not block and not fut.done():
+                if not applied:
+                    self._stale_tri_windows += 1
+                return
+            self._pending_tri.popleft()
+            self._install_topology(fut.result())
+            applied = True
 
     def _pack_segments(self, frames, gt_batch):
         """Pack frames into poseframe-aligned uint8 segments (pf only at
@@ -1084,10 +1094,22 @@ class Flame:
         behind the next window's compute. The result installs at the next
         window boundary (topology staleness grows by one window; FLaME
         already smooths over stale topology between poseframes)."""
-        # Drain the previous job first: the wait overlaps the device
-        # compute of the window that was just dispatched, and guarantees
-        # every built topology installs (never silently superseded).
-        self._apply_pending_triangulation(block=True)
+        # Bounded in-flight pipeline: completed jobs install at every
+        # window boundary (_dispatch_packed). When the link is slower
+        # than _MAX_TRI_INFLIGHT poseframe periods of compute, the
+        # backpressure policy decides: "drop" (default) skips THIS
+        # retriangulation — topology staleness grows one pf period; the
+        # mesh keeps smoothing and the next poseframe tries again — the
+        # same graceful-degradation stance as the reference's drop-on-
+        # full frame queue (thread_safe_queue.h:70-83). "block" waits
+        # and guarantees every poseframe's topology installs, in order.
+        if len(self._pending_tri) >= _MAX_TRI_INFLIGHT:
+            if self.tri_backpressure == "drop":
+                self._tri_dropped += 1
+                return
+            while len(self._pending_tri) >= _MAX_TRI_INFLIGHT:
+                fut = self._pending_tri.popleft()
+                self._install_topology(fut.result())
         uv_h = self.state.vtx_uv
         el_h = self.state.vtx_in_graph.astype(jnp.float32)
         try:
@@ -1104,7 +1126,7 @@ class Flame:
             return jax.device_put(self._build_topology_host(
                 np.asarray(uv_h), np.asarray(el_h) > 0.5))
 
-        self._pending_tri = self._tri_pool.submit(job)
+        self._pending_tri.append(self._tri_pool.submit(job))
 
     def _build_topology_host(self, uv: np.ndarray, eligible: np.ndarray):
         """Delaunay + incidence lists on host, packed into ONE int32

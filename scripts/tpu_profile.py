@@ -220,6 +220,18 @@ def main():
                                  first_is_pf=False)[0].vtx_x,
             iters=max(iters // 2, 4))
         emit("window6_dispatch_only", ms, per_frame=round(ms / 6, 2))
+        # Same chain with the poseframe variant (detection + keyframe
+        # ring insert + slot allocation unrolled for frame 0) — the
+        # product steady state at pf_subsample = window size.
+        frames_pf = [frames[0][:4] + (True,)] + frames[1:]
+        packed_pf, _, _, _, _ = engine._pack_segments(frames_pf, None)[0]
+        packed_pf_dev = jax.device_put(packed_pf)
+        ms = _time_op(
+            lambda: _window_step(stt, packed_pf_dev, gt_dev, cam=VGA,
+                                 params=engine.params, has_gt=False,
+                                 first_is_pf=True)[0].vtx_x,
+            iters=max(iters // 2, 4))
+        emit("window6_dispatch_only_pf", ms, per_frame=round(ms / 6, 2))
         img_pyr = build_pyramid(jnp.asarray(imgs[25], jnp.float32), 3)
         q = jnp.asarray(seq.poses.q[25], jnp.float32)
         t = jnp.asarray(seq.poses.t[25], jnp.float32)
@@ -241,6 +253,75 @@ def main():
         ms = _time_op(lambda: build_pyramid(
             jnp.asarray(imgs[25], jnp.float32), 3), iters=iters)
         emit("build_pyramid", ms)
+
+    # --- carried-state chain: the true steady-state window cost ---------
+    if only is not None and "chain" in only:
+        from flame_ros_tpu.models.engine import _window_step
+        H, W = VGA.height, VGA.width
+        n_win = 12
+        bufs = []
+        for k in range(n_win):
+            frames = [(seq.timestamps[(24 + k + j) % n_seq] + k,
+                       400 + k * 6 + j,
+                       SE3(seq.poses.q[(24 + k + j) % n_seq],
+                           seq.poses.t[(24 + k + j) % n_seq]),
+                       imgs[(24 + k + j) % n_seq], j == 0)
+                      for j in range(6)]
+            packed, _, _, _, _ = engine._pack_segments(frames, None)[0]
+            d = jax.device_put(packed)
+            np.asarray(jnp.ravel(d)[:1])  # force the upload to land
+            bufs.append(d)
+        gt_dev = jnp.zeros((6, H, W), jnp.float32)
+        stc = engine.state
+
+        def chain(st, warm):
+            for k in range(n_win):
+                st, *_ = _window_step(st, bufs[k], gt_dev, cam=VGA,
+                                      params=engine.params, has_gt=False,
+                                      first_is_pf=True)
+            _force(st.vtx_x)
+            return st
+        stc = chain(stc, True)  # warm
+        t0 = time.perf_counter()
+        chain(stc, False)
+        dt = time.perf_counter() - t0
+        emit("chain_carried_pf", dt / n_win * 1e3,
+             per_frame=round(dt / (n_win * 6) * 1e3, 2),
+             fps=round(n_win * 6 / dt, 2))
+
+    # --- multi-stream aggregate throughput on one chip ------------------
+    if only is not None and "mstream" in only:
+        from flame_ros_tpu.parallel.multi_stream import (
+            MultiStreamRunner, batched_full_step)
+        from flame_ros_tpu.geometry.se3 import SE3 as _SE3
+        for S in (2, 4):
+            runner = MultiStreamRunner(VGA, S, params=params)
+            # Warm state: run a few real frames (incl. poseframes +
+            # triangulation) so the measured step sees live topology.
+            for i in range(13):
+                frames = [(seq.timestamps[(i + 2 * s) % n_seq], i,
+                           _SE3(seq.poses.q[(i + 2 * s) % n_seq],
+                                seq.poses.t[(i + 2 * s) % n_seq]),
+                           imgs[(i + 2 * s) % n_seq]) for s in range(S)]
+                runner.update(frames)
+            from flame_ros_tpu.models import engine as eng_mod
+            packed_dev = jax.device_put(np.stack([np.concatenate([
+                imgs[(20 + s) % n_seq].ravel(),
+                eng_mod.pack_frame_meta(
+                    seq.poses.q[(20 + s) % n_seq],
+                    seq.poses.t[(20 + s) % n_seq], 500, False, 0)])
+                for s in range(S)]))
+            gt_dev = jnp.zeros((S, VGA.height, VGA.width), jnp.float32)
+            stb = runner.states
+            ms = _time_op(
+                lambda: batched_full_step(
+                    stb, packed_dev, gt_dev, cam=VGA,
+                    params=runner.params, is_pf=False,
+                    has_gt=False)[0].vtx_x,
+                iters=max(iters // 2, 4))
+            emit(f"mstream{S}_dispatch_only", ms,
+                 per_frame=round(ms / S, 2),
+                 agg_fps=round(S / (ms / 1e3), 1))
 
     # --- v3 diagnosis + tuning sweep -----------------------------------
     if only is not None and "v3" in only:

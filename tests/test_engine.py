@@ -219,6 +219,64 @@ def test_deferred_triangulation(seq):
     assert np.median(err) < 0.03, f"median {np.median(err)}"
 
 
+def test_deferred_triangulation_pipeline(seq):
+    """The deferred-triangulation pipeline is bounded (<= 2 jobs in
+    flight), installs every built topology in issue order, and drains
+    fully on a blocking getter."""
+    params = _small_params()
+    eng = Flame(seq.cam.width, seq.cam.height, cam=seq.cam, params=params,
+                deferred_triangulation=True, tri_backpressure="block")
+    installed = []
+    orig = eng._install_topology
+
+    def spy(packed):
+        installed.append(packed)
+        return orig(packed)
+    eng._install_topology = spy
+    for w in range(4):
+        frames = [(seq.timestamps[i % 18], 100 * w + i,
+                   SE3(seq.poses.q[i % 18], seq.poses.t[i % 18]),
+                   seq.images[i % 18], i % 6 == 0)
+                  for i in range(6 * w, 6 * w + 6)]
+        assert eng.update_window(frames)
+        assert len(eng._pending_tri) <= 2
+    eng._apply_pending_triangulation(block=True)
+    assert not eng._pending_tri
+    assert len(installed) == 4  # every scheduled job installed, none lost
+
+
+def test_deferred_triangulation_drop_backpressure(seq):
+    """Default drop policy: when the pipeline is full, a poseframe's
+    retriangulation is skipped (counted), never blocking the dispatch
+    path — the reference's drop-on-full queue philosophy."""
+    import threading
+    params = _small_params()
+    eng = Flame(seq.cam.width, seq.cam.height, cam=seq.cam, params=params,
+                deferred_triangulation=True)
+    assert eng.tri_backpressure == "drop"
+    # Simulate a slow link: stall the tri worker so jobs pile up.
+    gate = threading.Event()
+    orig_build = eng._build_topology_host
+
+    def slow_build(uv, el):
+        gate.wait(timeout=30.0)
+        return orig_build(uv, el)
+    eng._build_topology_host = slow_build
+    try:
+        for w in range(4):
+            frames = [(seq.timestamps[i % 18], 100 * w + i,
+                       SE3(seq.poses.q[i % 18], seq.poses.t[i % 18]),
+                       seq.images[i % 18], i % 6 == 0)
+                      for i in range(6 * w, 6 * w + 6)]
+            assert eng.update_window(frames)
+            assert len(eng._pending_tri) <= 2
+    finally:
+        gate.set()
+    assert eng._tri_dropped >= 1  # 4 poseframes, 2 slots -> drops
+    eng._apply_pending_triangulation(block=True)
+    assert not eng._pending_tri
+
+
 def test_checkpoint_resume(seq, tmp_path):
     """Save mid-run, resume in a fresh engine, continue: identical output
     to an uninterrupted run (bitwise state restore)."""
