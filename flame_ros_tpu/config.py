@@ -171,6 +171,19 @@ class EngineParams:
     max_cost: float = 800.0      # Max accepted SSD matching cost.
     min_ref_patch_grad: float = 1.0  # Min gradient along epipolar dir in ref.
     compute_dtype: str = "float32"
+    # Epipolar candidate sampling strategy: "line" (sliding-window sweep
+    # — one gather of S+P-1 points along the epipolar curve, windows
+    # share taps; 1/patch_size the random HBM reads) or "patch" (exact
+    # per-candidate warp of the reference patch rays; more gathers,
+    # slightly more faithful at strong perspective foreshortening).
+    epipolar_mode: str = "line"
+    # Sampling stride of the per-frame photometric-error telemetry pass
+    # (reference publishes photo error per frame; we estimate the same
+    # mean on a strided grid and rescale the total to dense-equivalent).
+    # At the default detection win_size=16, stride 4 still averages 16
+    # samples per cell for min_error redetection. Stride 2 measured
+    # ~3.5 ms/frame at VGA on v5e; stride 4 ~0.9 ms.
+    photo_stride: int = 4
     # Hand-scheduled Pallas raster kernel. None = auto: on for TPU
     # backends (the product default — it is the fastest raster in the
     # repo), off elsewhere (CPU Pallas requires interpreter mode, which

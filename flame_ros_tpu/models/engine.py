@@ -248,6 +248,7 @@ def _track_step(state: EngineState, img_pyr, cur_q, cur_t, frame_id,
         max_dropouts=trk.max_dropouts,
         max_idepth_var=trk.max_idepth_var,
         gather_dtype=eng.compute_dtype,
+        mode=eng.epipolar_mode,
     )
     feat = res.state
 
@@ -513,13 +514,16 @@ def _smooth_step(state: EngineState, img_pyr, cur_q, cur_t, track_counts,
 
     # --- photometric error (vs most recent keyframe) -------------------
     # Telemetry stat (reference publishes per-frame photo error). Sampled
-    # on a stride-2 grid: a quarter of the pixels estimates the same mean,
-    # and the dense 307k-element warp gather was the most expensive part
-    # of this step at VGA. The total is rescaled to dense-equivalent.
+    # on a strided grid (engine.photo_stride): a strided subsample
+    # estimates the same mean, and the dense 307k-element warp gather was
+    # the most expensive part of this step at VGA (the stride-2 grid
+    # still cost ~3.5 ms/frame on v5e — random gathers dominate). The
+    # total is rescaled to dense-equivalent.
+    ps = max(int(eng.photo_stride), 1)
     kf_slot = jnp.argmax(state.kf_ids)  # newest poseframe
-    hs, ws = cam.height // 2, cam.width // 2
-    u = jax.lax.broadcasted_iota(jnp.float32, (hs, ws), 1) * 2.0
-    v = jax.lax.broadcasted_iota(jnp.float32, (hs, ws), 0) * 2.0
+    hs, ws = cam.height // ps, cam.width // ps
+    u = jax.lax.broadcasted_iota(jnp.float32, (hs, ws), 1) * float(ps)
+    v = jax.lax.broadcasted_iota(jnp.float32, (hs, ws), 0) * float(ps)
     sidx = (v * cam.width + u).astype(jnp.int32)
     xi = jnp.take(jnp.nan_to_num(idepth_map, nan=0.0).reshape(-1), sidx)
     img_s = jnp.take(img_pyr[0].reshape(-1), sidx)
@@ -537,20 +541,20 @@ def _smooth_step(state: EngineState, img_pyr, cur_q, cur_t, track_counts,
     vals, samp_ok = bilinear(kf_img, uv_kf)
     perr = jnp.abs(vals - img_s)
     pmask = ok & samp_ok & ~behind
-    total_photo = 4.0 * jnp.sum(jnp.where(pmask, perr, 0.0))
+    total_photo = float(ps * ps) * jnp.sum(jnp.where(pmask, perr, 0.0))
     n_photo = jnp.maximum(jnp.sum(pmask.astype(jnp.float32)), 1.0)
 
-    # Per-detection-cell mean abs photo error from the same stride-2
+    # Per-detection-cell mean abs photo error from the same strided
     # samples (consumed next poseframe for min_error redetection).
     dw = params.features.detection.win_size
     nCy, nCx = cam.height // dw, cam.width // dw
-    if dw % 2 == 0:
-        s2 = dw // 2
+    if dw % ps == 0:
+        s2 = dw // ps
         e_c = jnp.where(pmask, perr, 0.0)[:nCy * s2, :nCx * s2]
         m_c = pmask[:nCy * s2, :nCx * s2].astype(jnp.float32)
         e_c = e_c.reshape(nCy, s2, nCx, s2).sum((1, 3))
         m_c = m_c.reshape(nCy, s2, nCx, s2).sum((1, 3))
-    else:  # odd win_size: scatter-mean (rare; traced once)
+    else:  # win_size not divisible by stride: scatter-mean (rare)
         cyi = jnp.clip((v / dw).astype(jnp.int32), 0, nCy - 1)
         cxi = jnp.clip((u / dw).astype(jnp.int32), 0, nCx - 1)
         e_c = jnp.zeros((nCy, nCx), jnp.float32).at[cyi, cxi].add(

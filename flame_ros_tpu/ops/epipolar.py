@@ -87,7 +87,8 @@ def relative_poses(kf_q, kf_t, cur_q, cur_t):
 
 
 @partial(jax.jit, static_argnames=(
-    "cam", "num_samples", "patch_size", "num_levels", "gather_dtype"))
+    "cam", "num_samples", "patch_size", "num_levels", "gather_dtype",
+    "mode"))
 def epipolar_update(
     state: FeatureFilterState,
     kf_pyrs,            # [K, L, H, W] keyframe pyramids
@@ -112,6 +113,7 @@ def epipolar_update(
     min_baseline: float = 1e-3,
     min_var_ratio: float = 0.25,
     gather_dtype: str = "float32",
+    mode: str = "line",
 ) -> EpipolarResult:
     N = state.mu.shape[0]
     P = patch_size
@@ -173,9 +175,22 @@ def epipolar_update(
     max_halfwidth = (0.5 * num_samples * lscale) / jnp.maximum(dpdxi, 1e-3)
     center = jnp.clip(state.mu, xi_lo, xi_hi)
     capped = (center - xi_lo > max_halfwidth) | (xi_hi - center > max_halfwidth)
-    xi_lo = jnp.maximum(xi_lo, center - max_halfwidth)
-    xi_hi = jnp.minimum(xi_hi, center + max_halfwidth)
-    xi_hi = jnp.maximum(xi_hi, xi_lo + 1e-6)
+    xi_lo_2s, xi_hi_2s = xi_lo, xi_hi  # the +/- sigma_window*sigma range
+    if mode == "line":
+        # Fixed sample spacing of exactly ONE level-pixel along the
+        # epipolar line (the LSD/FLaME convention): the gathered window
+        # is always num_samples level-pixels of arc centered on the
+        # posterior, so the sliding-line gather below is exact and the
+        # tap spacing never collapses. Candidates are still SCORED only
+        # inside the +/- sigma_window*sigma range (masked below) — the
+        # wide gather provides tap context, not extra hypotheses.
+        width = 2.0 * max_halfwidth
+        xi_lo = center - 0.5 * width
+        xi_hi = xi_lo + jnp.maximum(width, 1e-6)
+    else:
+        xi_lo = jnp.maximum(xi_lo, center - max_halfwidth)
+        xi_hi = jnp.minimum(xi_hi, center + max_halfwidth)
+        xi_hi = jnp.maximum(xi_hi, xi_lo + 1e-6)
 
     alphas = jnp.linspace(0.0, 1.0, num_samples, dtype=f32)
     xis = xi_lo[:, None] + (xi_hi - xi_lo)[:, None] * alphas[None, :]  # [N,S]
@@ -191,6 +206,10 @@ def epipolar_update(
         jnp.linalg.norm(d_ref, axis=-1, keepdims=True), 1e-12)
 
     offs = (jnp.arange(P, dtype=f32) - half)              # [P]
+    dxi_step = (xi_hi - xi_lo) / (num_samples - 1)        # [N]
+    # Both modes: ref taps at one level-pixel spacing (in line mode the
+    # candidate samples are one level-pixel apart by construction, so
+    # the sliding windows compare the same physical spacing).
     tap_step = lscale[:, None, None] * d_ref[:, None, :]  # [N, 1, 2]
     ref_uv = state.uv_ref[:, None, :] + offs[None, :, None] * tap_step  # [N,P,2]
 
@@ -200,17 +219,49 @@ def epipolar_update(
     ref_grad = jnp.abs(jnp.diff(ref_patch, axis=-1)).mean(axis=-1)
     ref_grad_ok = (ref_grad >= min_ref_patch_grad) & ref_ok.all(axis=-1)
 
-    # --- candidate patches: exact warp of ref-patch rays --------------
-    ray_taps = cam.ray(ref_uv)                             # [N, P, 3]
-    A_taps = quat_rotate(q_cr[:, None, :], ray_taps) @ K.T  # [N, P, 3]
-    hom = (A_taps[:, None, :, :]
-           + xis[:, :, None, None] * B[:, None, None, :])  # [N, S, P, 3]
-    in_front = hom[..., 2] > 1e-6
-    zc = jnp.where(in_front, hom[..., 2], 1.0)
-    cand_uv = hom[..., :2] / zc[..., None]                 # [N, S, P, 2]
-    cand_vals, cand_ok = bilinear_pyramid(
-        img_pyr, cand_uv, level[:, None, None])
-    cand_ok = (cand_ok & in_front).all(axis=-1)            # [N, S]
+    if mode == "line":
+        # --- sliding line sweep -----------------------------------------
+        # Adjacent candidates share P-1 of their P taps (spacing is one
+        # xi step on both axes), so ONE gather of S+P-1 points along the
+        # epipolar curve replaces the [S, P] patch grid — 1/P the random
+        # HBM reads, which dominate this op. The SSD then reduces over
+        # static shifted slices of the gathered profile (pure VPU work).
+        S = num_samples
+        ext = jnp.arange(S + P - 1, dtype=f32) - half       # [S+P-1]
+        xi_ext = xis[:, :1] + ext[None, :] * dxi_step[:, None]
+        hom = A[:, None, :] + xi_ext[..., None] * B[:, None, :]
+        in_front = hom[..., 2] > 1e-6                       # [N, S+P-1]
+        zc = jnp.where(in_front, hom[..., 2], 1.0)
+        uv_ext = hom[..., :2] / zc[..., None]               # [N, S+P-1, 2]
+        line_vals, line_ok = bilinear_pyramid(
+            img_pyr, uv_ext, level[:, None])
+        lok = line_ok & in_front
+        cand_vals = jnp.stack(
+            [line_vals[:, p:p + S] for p in range(P)], -1)  # [N, S, P]
+        # Taps beyond the idepth range are legitimate line context, but a
+        # hypothesis is scored only if its xi is inside the idepth range
+        # AND the posterior's +/- sigma_window*sigma band (half a step of
+        # slack keeps the nearest-to-center candidate always scorable).
+        allow = ((xis >= idepth_min) & (xis <= idepth_max)
+                 & (xis >= (xi_lo_2s - 0.5 * dxi_step)[:, None])
+                 & (xis <= (xi_hi_2s + 0.5 * dxi_step)[:, None]))
+        cand_ok = jnp.stack(
+            [lok[:, p:p + S] for p in range(P)], -1).all(-1) & allow
+        cand_uv_center = uv_ext[:, half:half + S, :]        # [N, S, 2]
+    else:
+        # --- candidate patches: exact warp of ref-patch rays ------------
+        ray_taps = cam.ray(ref_uv)                             # [N, P, 3]
+        A_taps = quat_rotate(q_cr[:, None, :], ray_taps) @ K.T  # [N, P, 3]
+        hom = (A_taps[:, None, :, :]
+               + xis[:, :, None, None] * B[:, None, None, :])  # [N, S, P, 3]
+        in_front = hom[..., 2] > 1e-6
+        zc = jnp.where(in_front, hom[..., 2], 1.0)
+        cand_uv = hom[..., :2] / zc[..., None]                 # [N, S, P, 2]
+        cand_vals, cand_ok = bilinear_pyramid(
+            img_pyr, cand_uv, level[:, None, None])
+        cand_ok = (cand_ok & in_front).all(axis=-1)            # [N, S]
+        cand_uv_center = cand_uv[:, :, half, :]
+        allow = jnp.ones_like(cand_ok)
 
     diff = cand_vals - ref_patch[:, None, :]
     cost = jnp.sum(diff * diff, axis=-1)                   # [N, S]
@@ -222,7 +273,6 @@ def epipolar_update(
     best_cost = jnp.take_along_axis(cost, best[:, None], 1)[:, 0]
 
     # Second-best outside a 2-level-pixel exclusion radius of the best.
-    dxi_step = (xi_hi - xi_lo) / (num_samples - 1)          # [N]
     px_per_step = dxi_step * jnp.maximum(dpdxi, 1e-3)       # level-0 px
     s_idx = jax.lax.broadcasted_iota(jnp.int32, cost.shape, 1)
     dist_px = jnp.abs(s_idx - best[:, None]).astype(f32) * px_per_step[:, None]
@@ -248,7 +298,7 @@ def epipolar_update(
     xi_hat = jnp.clip(xi_hat, idepth_min, idepth_max)
 
     uv_match = jnp.take_along_axis(
-        cand_uv[:, :, half, :], best[:, None, None].repeat(2, -1), 1)[:, 0, :]
+        cand_uv_center, best[:, None, None].repeat(2, -1), 1)[:, 0, :]
 
     # --- observation variance -----------------------------------------
     # Photometric localization error in level pixels: noise / profile slope.
@@ -265,7 +315,11 @@ def epipolar_update(
     searched = attempted & ref_grad_ok
     fail_oob = searched & ~any_ok
     matched = searched & any_ok
-    at_boundary = (best == 0) | (best == num_samples - 1)
+    # Best on the edge of the SCORED set: index edge, or (line mode) the
+    # neighbor hypothesis fell outside the scored band.
+    at_boundary = ((best == 0) | (best == num_samples - 1)
+                   | ~jnp.take_along_axis(allow, bm1[:, None], 1)[:, 0]
+                   | ~jnp.take_along_axis(allow, bp1[:, None], 1)[:, 0])
     fail_cost = matched & (best_cost > max_cost)
     good_cost = matched & (best_cost <= max_cost)
     # Censored match: best on the edge of a *truncated* window means the

@@ -47,6 +47,8 @@ def emit(name, ms, **kw):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--variants", default="",
+                    help="chainablate: 'name,section.key,value;...'")
     ap.add_argument("--only", default="",
                     help="comma-separated subset: raster,epi,pd,frame,bench")
     args = ap.parse_args()
@@ -288,6 +290,64 @@ def main():
         emit("chain_carried_pf", dt / n_win * 1e3,
              per_frame=round(dt / (n_win * 6) * 1e3, 2),
              fps=round(n_win * 6 / dt, 2))
+
+    # --- carried-chain ablations: attribute the steady-state budget -----
+    if only is not None and "chainablate" in only:
+        from flame_ros_tpu.models.engine import _window_step
+        import dataclasses as _dc
+        H, W = VGA.height, VGA.width
+        n_win = 8
+        bufs = []
+        for k in range(n_win):
+            frames = [(seq.timestamps[(24 + k + j) % n_seq] + k,
+                       700 + k * 6 + j,
+                       SE3(seq.poses.q[(24 + k + j) % n_seq],
+                           seq.poses.t[(24 + k + j) % n_seq]),
+                       imgs[(24 + k + j) % n_seq], j == 0)
+                      for j in range(6)]
+            packed, _, _, _, _ = engine._pack_segments(frames, None)[0]
+            d = jax.device_put(packed)
+            np.asarray(jnp.ravel(d)[:1])
+            bufs.append(d)
+        gt_dev = jnp.zeros((6, H, W), jnp.float32)
+
+        def run_variant(name, pvar):
+            st = engine.state
+
+            def chain(st):
+                for k in range(n_win):
+                    st, *_ = _window_step(st, bufs[k], gt_dev, cam=VGA,
+                                          params=pvar, has_gt=False,
+                                          first_is_pf=True)
+                _force(st.vtx_x)
+                return st
+            st = chain(st)  # warm/compile
+            t0 = time.perf_counter()
+            chain(st)
+            dt = time.perf_counter() - t0
+            emit(f"chain_{name}", dt / n_win * 1e3,
+                 per_frame=round(dt / (n_win * 6) * 1e3, 2))
+
+        p0 = engine.params
+        if args.variants:
+            for spec in args.variants.split(";"):
+                name, path, val = spec.split(",")
+                sect, key = path.split(".")
+                import ast
+                v = ast.literal_eval(val)
+                pvar = _dc.replace(p0, **{sect: _dc.replace(
+                    getattr(p0, sect), **{key: v})})
+                run_variant(name, pvar)
+        else:
+            run_variant("base", p0)
+            run_variant("pd0", _dc.replace(p0, regularization=_dc.replace(
+                p0.regularization, do_nltgv2=False)))
+            run_variant("epi8", _dc.replace(p0, engine=_dc.replace(
+                p0.engine, num_search_samples=8)))
+            run_variant("raster_xla", _dc.replace(p0, engine=_dc.replace(
+                p0.engine, use_pallas_raster=False)))
+            run_variant("epi_bf16", _dc.replace(p0, engine=_dc.replace(
+                p0.engine, compute_dtype="bfloat16")))
 
     # --- multi-stream aggregate throughput on one chip ------------------
     if only is not None and "mstream" in only:
