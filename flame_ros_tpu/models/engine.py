@@ -1114,11 +1114,14 @@ class Flame:
             while len(self._pending_tri) >= _MAX_TRI_INFLIGHT:
                 fut = self._pending_tri.popleft()
                 self._install_topology(fut.result())
-        uv_h = self.state.vtx_uv
-        el_h = self.state.vtx_in_graph.astype(jnp.float32)
+        # ONE packed device buffer -> one D2H round-trip on the worker
+        # (two separate pulls cost two link RTTs on tunneled backends).
+        N = self.params.engine.max_features
+        buf_h = jnp.concatenate(
+            [self.state.vtx_uv.reshape(-1),
+             self.state.vtx_in_graph.astype(jnp.float32)])
         try:
-            uv_h.copy_to_host_async()
-            el_h.copy_to_host_async()
+            buf_h.copy_to_host_async()
         except Exception:
             pass  # backend may not support async copies; pull later
         if self._tri_pool is None:
@@ -1127,8 +1130,9 @@ class Flame:
                 max_workers=1, thread_name_prefix="flame-tri")
 
         def job():
+            buf = np.asarray(buf_h)
             return jax.device_put(self._build_topology_host(
-                np.asarray(uv_h), np.asarray(el_h) > 0.5))
+                buf[:2 * N].reshape(N, 2), buf[2 * N:] > 0.5))
 
         self._pending_tri.append(self._tri_pool.submit(job))
 

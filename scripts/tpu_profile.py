@@ -102,8 +102,9 @@ def main():
             emit("raster_pallas_v2", ms)
         except Exception as e:
             emit("raster_pallas_v2", -1.0, error=str(e)[:200])
-        for (cs, cl, lt, rt) in [(256, 128, 32.0, 2), (384, 128, 48.0, 2),
-                                 (256, 128, 32.0, 4), (128, 128, 16.0, 2)]:
+        for (cs, cl, lt, rt) in [(384, 128, 48.0, 2), (448, 128, 64.0, 2),
+                                 (320, 96, 48.0, 2), (384, 128, 48.0, 1),
+                                 (384, 128, 48.0, 3), (512, 64, 96.0, 2)]:
             try:
                 out4 = rp.rasterize_tri_ids_pallas_v4(
                     st.vtx_uv, st.tris, st.tri_valid, height=H, width=W,
