@@ -153,6 +153,11 @@ def main():
             results[key] = run_mode(win_size, 60, prefetch)
         except Exception:
             engine._prefetch_issued.clear()  # abandon half-issued uploads
+    if not results:
+        print(json.dumps({"metric": "engine_fps_vga_device", "value": 0.0,
+                          "unit": "frames/s/chip",
+                          "vs_baseline": 0.0, "error": "no mode completed"}))
+        return
     fps = results.get("dev", max(results.values()))
     e2e = {k: v for k, v in results.items() if k != "dev"}
     print(json.dumps({
