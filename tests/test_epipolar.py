@@ -41,8 +41,14 @@ def _pyr(img):
     return build_pyramid(jnp.asarray(img))
 
 
-def test_epipolar_converges_to_gt_idepth():
-    """Golden test: posterior converges to GT inverse depth on synthetic.
+import pytest
+
+
+@pytest.mark.parametrize("mode", ["line", "patch"])
+def test_epipolar_converges_to_gt_idepth(mode):
+    """Golden test: posterior converges to GT inverse depth on synthetic,
+    in BOTH candidate-sampling modes (line = sliding-line sweep product
+    default; patch = exact per-candidate ref-ray warp).
 
     Depth-edge features have genuinely ambiguous nearest-pixel GT, and a few
     percent of wrong-lobe outliers are expected (the downstream NLTGV2-L1
@@ -59,7 +65,7 @@ def test_epipolar_converges_to_gt_idepth():
         res = epipolar_update(
             state, kf_pyrs, kf_q, kf_t,
             _pyr(seq.images[i]), seq.poses.q[i], seq.poses.t[i],
-            cam=seq.cam)
+            cam=seq.cam, mode=mode)
         state = res.state
         if i == 5:
             mid_status = np.asarray(res.status)
