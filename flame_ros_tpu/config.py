@@ -184,6 +184,10 @@ class EngineParams:
     # samples per cell for min_error redetection. Stride 2 measured
     # ~3.5 ms/frame at VGA on v5e; stride 4 ~0.9 ms.
     photo_stride: int = 4
+    # Brightness-offset-invariant epipolar matching (zero-mean SSD):
+    # turn on for auto-exposure cameras (e.g. TUM RGB-D); off preserves
+    # the reference's raw-SSD behavior.
+    zero_mean_ssd: bool = False
     # Hand-scheduled Pallas raster kernel. None = auto: on for TPU
     # backends (the product default — it is the fastest raster in the
     # repo), off elsewhere (CPU Pallas requires interpreter mode, which

@@ -249,6 +249,7 @@ def _track_step(state: EngineState, img_pyr, cur_q, cur_t, frame_id,
         max_idepth_var=trk.max_idepth_var,
         gather_dtype=eng.compute_dtype,
         mode=eng.epipolar_mode,
+        zero_mean_ssd=eng.zero_mean_ssd,
     )
     feat = res.state
 

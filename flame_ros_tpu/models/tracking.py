@@ -33,6 +33,8 @@ class TrackResult(NamedTuple):
     t: jax.Array           # [3]
     final_cost: jax.Array  # scalar mean Huber cost
     n_inliers: jax.Array   # scalar
+    gain: jax.Array        # scalar affine exposure gain (cur vs ref)
+    offset: jax.Array      # scalar affine exposure offset
 
 
 def _se3_exp_qt(tau):
@@ -41,17 +43,25 @@ def _se3_exp_qt(tau):
 
 
 @partial(jax.jit, static_argnames=("cam", "num_points", "iters_per_level",
-                                   "num_levels"))
+                                   "num_levels", "estimate_affine"))
 def track_frame(ref_pyr, ref_idepth, cur_pyr, init_q, init_t, *,
                 cam: Pinhole, num_points: int = 2048,
                 iters_per_level: int = 10, num_levels: int = 3,
-                huber_delta: float = 8.0, min_grad: float = 4.0):
+                huber_delta: float = 8.0, min_grad: float = 4.0,
+                estimate_affine: bool = True):
     """Estimate T_rc (points in ref frame -> cur frame... specifically the
     transform taking ref-camera coordinates to cur-camera coordinates).
 
     ref_pyr/cur_pyr: [L, H, W] pyramids; ref_idepth: [H, W] (NaN invalid);
     init_q/init_t: initial guess for T_rc (e.g. identity or motion model).
     Returns TrackResult with the refined relative pose.
+
+    estimate_affine: jointly estimate a per-frame affine exposure model
+    (DSO-style): r = I_cur(warp(p)) - (gain * I_ref(p) + offset). Auto-
+    exposure cameras (e.g. TUM RGB-D) change gain/offset frame to frame;
+    raw photometric alignment then biases the pose. On constant-exposure
+    input the solve returns gain=1, offset=0 and is behavior-neutral.
+    (Beyond the reference, which assumes externally-supplied poses.)
     """
     H, W = cam.height, cam.width
 
@@ -79,11 +89,11 @@ def track_frame(ref_pyr, ref_idepth, cur_pyr, init_q, init_t, *,
     X_ref = cam.backproject(uv, jnp.maximum(xi, 1e-3))    # [P, 3]
 
     def level_solve(carry, level):
-        q, t = carry
+        q, t, g, o = carry
         lvl = jnp.full((num_points,), level, jnp.int32)
 
         def gn_iter(_, qt):
-            q, t = qt
+            q, t, g, o = qt
             Xc = quat_rotate(q[None, :], X_ref) + t[None, :]
             z = Xc[..., 2]
             front = z > 1e-3
@@ -103,7 +113,7 @@ def track_frame(ref_pyr, ref_idepth, cur_pyr, init_q, init_t, *,
             gIu = (ip_u - im_u) / (2 * step)
             gIv = (ip_v - im_v) / (2 * step)
 
-            r = icur - iref0
+            r = icur - (g * iref0 + o)
             w_h = jnp.where(jnp.abs(r) <= huber_delta, 1.0,
                             huber_delta / jnp.maximum(jnp.abs(r), 1e-6))
             m = (valid0 & front & inb).astype(jnp.float32) * w_h
@@ -125,21 +135,67 @@ def track_frame(ref_pyr, ref_idepth, cur_pyr, init_q, init_t, *,
                     -gX[:, 0] * Xc[:, 1] + gX[:, 1] * Xc[:, 0],
                 ], -1)], -1)                                # [P, 6]
 
-            A = (Jx * m[:, None]).T @ Jx + 1e-4 * jnp.eye(6)
-            b = (Jx * m[:, None]).T @ r
-            tau = -jnp.linalg.solve(A, b)
-            tau = jnp.clip(tau, -0.5, 0.5)
+            if estimate_affine:
+                # dr/d(gain) = -iref, dr/d(offset) = -1: two extra GN
+                # columns. Column magnitudes span ~1 (offset) to ~1e3
+                # (pose), which makes the raw 8x8 float32 solve lose the
+                # pose block — Jacobi-normalize the system first.
+                # Affine columns participate only at fine pyramid levels
+                # (zeroed when coarse, so the pose step there is the pure
+                # 6-DoF solve): at coarse levels the pose is still far
+                # off and the affine directions — which correlate with
+                # image content — absorb misalignment structure instead
+                # (measured g->0.57 on a constant-exposure pair).
+                fine = (level < 2).astype(jnp.float32)
+                Jx = jnp.concatenate(
+                    [Jx, -fine * iref0[:, None],
+                     -fine * jnp.ones_like(iref0)[:, None]],
+                    -1)                                     # [P, 8]
+                A = (Jx * m[:, None]).T @ Jx + jnp.diag(
+                    jnp.array([1e-4] * 6 + [1e-2, 1e-2], jnp.float32))
+                b = (Jx * m[:, None]).T @ r
+                s = jax.lax.rsqrt(jnp.diag(A) + 1e-12)
+                An = s[:, None] * A * s[None, :]
+                upd = -s * jnp.linalg.solve(An, s * b)
+                tau = jnp.clip(upd[:6], -0.5, 0.5)
+                g_new = jnp.clip(g + fine * jnp.clip(upd[6], -0.2, 0.2),
+                                 0.5, 2.0)
+                o_new = jnp.clip(o + fine * jnp.clip(upd[7], -16.0, 16.0),
+                                 -96.0, 96.0)
+            else:
+                A = (Jx * m[:, None]).T @ Jx + 1e-4 * jnp.eye(6)
+                b = (Jx * m[:, None]).T @ r
+                tau = jnp.clip(-jnp.linalg.solve(A, b), -0.5, 0.5)
+                g_new, o_new = g, o
             dq, dt = _se3_exp_qt(tau)
             # Left-compose the increment: T <- dT * T.
             q_new = quat_mul(dq, q)
             t_new = quat_rotate(dq, t) + dt
-            return (q_new, t_new)
+            return (q_new, t_new, g_new, o_new)
 
-        q, t = jax.lax.fori_loop(0, iters_per_level, gn_iter, (q, t))
-        return (q, t), None
+        q, t, g, o = jax.lax.fori_loop(0, iters_per_level, gn_iter,
+                                       (q, t, g, o))
+        return (q, t, g, o), None
 
+    if estimate_affine:
+        # Pose-independent exposure seed from global image statistics
+        # (coarsest level, padding excluded): g0 = std ratio, o0 = mean
+        # residual. Under a real gain/offset change this lands on the
+        # true model before any alignment, so the coarse pose solve sees
+        # exposure-corrected residuals; the fine levels then refine
+        # (g, o) jointly with the pose. Constant exposure -> (1, 0).
+        lc = num_levels - 1
+        npx = (H >> lc) * (W >> lc)
+        a = ref_pyr[lc].reshape(-1)[:npx]
+        c = cur_pyr[lc].reshape(-1)[:npx]
+        g0 = jnp.clip(jnp.std(c) / jnp.maximum(jnp.std(a), 1e-3), 0.5, 2.0)
+        o0 = jnp.clip(jnp.mean(c) - g0 * jnp.mean(a), -96.0, 96.0)
+    else:
+        g0 = jnp.float32(1.0)
+        o0 = jnp.float32(0.0)
     levels = jnp.arange(num_levels - 1, -1, -1, dtype=jnp.int32)
-    (q, t), _ = jax.lax.scan(level_solve, (init_q, init_t), levels)
+    (q, t, g, o), _ = jax.lax.scan(
+        level_solve, (init_q, init_t, g0, o0), levels)
 
     # Final diagnostics at level 0.
     Xc = quat_rotate(q[None, :], X_ref) + t[None, :]
@@ -148,10 +204,11 @@ def track_frame(ref_pyr, ref_idepth, cur_pyr, init_q, init_t, *,
                      cam.fy * Xc[..., 1] / z + cam.cy], -1)
     icur, inb = bilinear_pyramid(cur_pyr, uvc,
                                  jnp.zeros(num_points, jnp.int32))
-    r = jnp.abs(icur - iref0)
+    r = jnp.abs(icur - (g * iref0 + o))
     m = valid0 & inb & (Xc[..., 2] > 1e-3)
     inl = m & (r < 2 * huber_delta)
     cost = jnp.sum(jnp.where(m, jnp.minimum(r, 3 * huber_delta), 0.0)) \
         / jnp.maximum(jnp.sum(m.astype(jnp.float32)), 1.0)
     return TrackResult(q=q, t=t, final_cost=cost,
-                       n_inliers=jnp.sum(inl.astype(jnp.int32)))
+                       n_inliers=jnp.sum(inl.astype(jnp.int32)),
+                       gain=g, offset=o)

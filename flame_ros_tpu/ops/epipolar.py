@@ -88,7 +88,7 @@ def relative_poses(kf_q, kf_t, cur_q, cur_t):
 
 @partial(jax.jit, static_argnames=(
     "cam", "num_samples", "patch_size", "num_levels", "gather_dtype",
-    "mode"))
+    "mode", "zero_mean_ssd"))
 def epipolar_update(
     state: FeatureFilterState,
     kf_pyrs,            # [K, L, H, W] keyframe pyramids
@@ -114,6 +114,7 @@ def epipolar_update(
     min_var_ratio: float = 0.25,
     gather_dtype: str = "float32",
     mode: str = "line",
+    zero_mean_ssd: bool = False,
 ) -> EpipolarResult:
     N = state.mu.shape[0]
     P = patch_size
@@ -263,7 +264,16 @@ def epipolar_update(
         cand_uv_center = cand_uv[:, :, half, :]
         allow = jnp.ones_like(cand_ok)
 
-    diff = cand_vals - ref_patch[:, None, :]
+    if zero_mean_ssd:
+        # Brightness-offset-invariant matching (auto-exposure cameras):
+        # remove each window's mean before the SSD. Costs two means over
+        # values already in registers; the profile-slope observation
+        # model below is gradient-based and unaffected.
+        ref_patch_c = ref_patch - ref_patch.mean(-1, keepdims=True)
+        diff = (cand_vals - cand_vals.mean(-1, keepdims=True)
+                - ref_patch_c[:, None, :])
+    else:
+        diff = cand_vals - ref_patch[:, None, :]
     cost = jnp.sum(diff * diff, axis=-1)                   # [N, S]
     BIG = f32(1e12)
     cost = jnp.where(cand_ok, cost, BIG)

@@ -88,3 +88,53 @@ def test_track_cost_flags_divergence(seq):
                        jnp.array([1.0, 0, 0, 0]), jnp.zeros(3),
                        cam=seq.cam, num_levels=4)
     assert float(res.final_cost) > 2.0 * float(good.final_cost)
+
+
+def test_track_affine_exposure_drift(seq):
+    """Auto-exposure robustness (beyond the reference): the current frame
+    has a gain/offset change vs the keyframe; joint affine estimation
+    recovers both the pose and the exposure model, while the raw
+    photometric solve degrades."""
+    ref_pyr, ref_idepth = _ref(seq)
+    cur = np.clip(1.2 * np.asarray(seq.images[1]) + 15.0, 0, 255)
+    cur_pyr = build_pyramid(jnp.asarray(cur.astype(np.float32)), 4)
+    T_true = _true_rel(seq, 0, 1)
+
+    res = track_frame(ref_pyr, ref_idepth, cur_pyr,
+                      jnp.array([1.0, 0, 0, 0]), jnp.zeros(3),
+                      cam=seq.cam, num_levels=4, estimate_affine=True)
+    et, er = _err(res, T_true)
+    assert et < 0.015, f"translation err {et} m under exposure drift"
+    assert er < 0.008, f"rotation err {er} rad under exposure drift"
+    # (gain, offset) is a correlated pair (observable through contrast
+    # only) — assert the EFFECTIVE intensity map matches the injected
+    # 1.2*I + 15 over the working range, not the raw parameters.
+    g, o = float(res.gain), float(res.offset)
+    for I in (96.0, 128.0, 176.0):
+        assert abs((g * I + o) - (1.2 * I + 15.0)) < 12.0, (g, o, I)
+    assert float(res.final_cost) < 10.0
+
+    raw = track_frame(ref_pyr, ref_idepth, cur_pyr,
+                      jnp.array([1.0, 0, 0, 0]), jnp.zeros(3),
+                      cam=seq.cam, num_levels=4, estimate_affine=False)
+    assert float(raw.final_cost) > 2.0 * float(res.final_cost)
+    et_raw, _ = _err(raw, T_true)
+    assert et_raw > 5.0 * et  # raw solve diverges under drift
+
+
+def test_track_affine_neutral_on_constant_exposure(seq):
+    """With no exposure change, affine estimation is behavior-neutral:
+    gain ~ 1, offset ~ 0, pose matches the raw solve."""
+    ref_pyr, ref_idepth = _ref(seq)
+    cur_pyr = build_pyramid(jnp.asarray(seq.images[1]), 4)
+    T_true = _true_rel(seq, 0, 1)
+    res = track_frame(ref_pyr, ref_idepth, cur_pyr,
+                      jnp.array([1.0, 0, 0, 0]), jnp.zeros(3),
+                      cam=seq.cam, num_levels=4, estimate_affine=True)
+    et, er = _err(res, T_true)
+    assert et < 0.01 and er < 0.005
+    # Effective intensity map stays near identity in the working range
+    # (the raw pair may drift along the gain/offset degeneracy).
+    g, o = float(res.gain), float(res.offset)
+    for I in (96.0, 128.0, 176.0):
+        assert abs((g * I + o) - I) < 12.0, (g, o, I)
