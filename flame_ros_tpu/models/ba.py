@@ -42,6 +42,8 @@ class BAResult(NamedTuple):
     idepths: jax.Array     # [P] refined point inverse depths (ref frame)
     final_cost: jax.Array
     n_valid: jax.Array
+    gains: jax.Array       # [K] per-frame affine exposure gain vs ref
+    offsets: jax.Array     # [K] per-frame affine exposure offset
 
 
 @partial(jax.jit, static_argnames=("budget",))
@@ -97,7 +99,9 @@ def _warp_residual(tau_j, d_p, uv_p, iref_p, q_j, t_j, ref_q, ref_t,
     return (val[0] - iref_p) * w, w
 
 
-@partial(jax.jit, static_argnames=("cam", "num_iters", "coarse_iters", "level", "optimize_poses"))
+@partial(jax.jit, static_argnames=("cam", "num_iters", "coarse_iters",
+                                   "level", "optimize_poses",
+                                   "estimate_affine"))
 def bundle_adjust_window(
     kf_pyrs,           # [K, L, H, W] keyframe pyramids
     kf_q, kf_t,        # [K, 4], [K, 3] initial poses (camera-to-world)
@@ -115,11 +119,19 @@ def bundle_adjust_window(
     depth_prior_weight: float = 50.0,
     damping: float = 0.1,
     optimize_poses: bool = True,
+    estimate_affine: bool = True,
 ):
     """Joint pose+depth Gauss-Newton over the keyframe window.
 
     The reference keyframe (ref_index) is the gauge: its pose is fixed and
     points are parameterized in its frame. Returns BAResult.
+
+    estimate_affine: each non-reference frame additionally carries an
+    affine exposure pair (gain_j, offset_j) — residuals become
+    I_j(warp) - (gain_j * I_ref(p) + offset_j) — jointly estimated in
+    the same Schur-reduced solve (frame blocks grow 6 -> 8; the depth
+    elimination is unchanged). Auto-exposure keyframe windows otherwise
+    bias the photometric optimum (BENCH_NOTES round-2 roadmap item 7).
     """
     K = kf_q.shape[0]
     P = uv_ref.shape[0]
@@ -137,10 +149,15 @@ def bundle_adjust_window(
     p_ids = jnp.arange(P)
     j_ids = jnp.arange(K)
 
-    def eval_cost(q, t, d, it_lvl):
+    # Per-frame parameter block: 6 pose DoF (+2 affine exposure).
+    D = 8 if estimate_affine else 6
+    step_clip = jnp.array([0.2] * 6 + [0.1, 8.0], jnp.float32)[:D]
+
+    def eval_cost(q, t, g, o, d, it_lvl):
         def r_one(d_p, p_idx, j_idx):
+            eff = g[j_idx] * iref_lv(it_lvl)[p_idx] + o[j_idx]
             return _warp_residual(
-                jnp.zeros(6), d_p, uv_ref[p_idx], iref_lv(it_lvl)[p_idx],
+                jnp.zeros(6), d_p, uv_ref[p_idx], eff,
                 q[j_idx], t[j_idx], ref_q, ref_t, kf_pyrs[j_idx], cam,
                 it_lvl)
         rr, ww = jax.vmap(jax.vmap(r_one, in_axes=(None, None, 0)),
@@ -151,17 +168,23 @@ def bundle_adjust_window(
             / jnp.maximum(jnp.sum(w), 1.0)
 
     def gn(carry, it_lvl):
-        q, t, d, lam = carry
+        q, t, g, o, d, lam = carry
 
         def residual_cur(tau_j, d_p, p_idx, j_idx):
+            # tau_j: [D] — pose twist (+ exposure perturbation).
+            if estimate_affine:
+                eff = ((g[j_idx] + tau_j[6]) * iref_lv(it_lvl)[p_idx]
+                       + (o[j_idx] + tau_j[7]))
+            else:
+                eff = g[j_idx] * iref_lv(it_lvl)[p_idx] + o[j_idx]
             return _warp_residual(
-                tau_j, d_p, uv_ref[p_idx], iref_lv(it_lvl)[p_idx],
+                tau_j[:6], d_p, uv_ref[p_idx], eff,
                 q[j_idx], t[j_idx], ref_q, ref_t,
                 kf_pyrs[j_idx], cam, it_lvl)
 
         def r_and_jac_cur(d_p, p_idx, j_idx):
             f = lambda tau, dd: residual_cur(tau, dd, p_idx, j_idx)[0]
-            tau0 = jnp.zeros(6)
+            tau0 = jnp.zeros(D)
             r, w = residual_cur(tau0, d_p, p_idx, j_idx)
             Jt = jax.jacfwd(f, argnums=0)(tau0, d_p)
             Jd = jax.jacfwd(f, argnums=1)(tau0, d_p)
@@ -176,23 +199,23 @@ def bundle_adjust_window(
         w = (ww * hub * fmask[None, :].astype(jnp.float32)
              * pvalid[:, None].astype(jnp.float32))
 
-        # Blocks (per frame j): Hpp_j [6,6], bp_j [6]; per point: Hdd [P].
+        # Blocks (per frame j): Hpp_j [D,D], bp_j [D]; per point: Hdd [P].
         Hpp = jnp.einsum("pk,pki,pkj->kij", w, Jt, Jt)
         bp = jnp.einsum("pk,pki,pk->ki", w, Jt, rr)
         Hdd = jnp.sum(w * Jd * Jd, axis=1) + depth_prior_weight
         bd = jnp.sum(w * Jd * rr, axis=1) \
             + depth_prior_weight * (d - idepth0)
-        # Coupling Hpd: [P, K, 6] (point p x frame j).
+        # Coupling Hpd: [P, K, D] (point p x frame j).
         Hpd = w[..., None] * Jd[..., None] * Jt
 
         # Schur: S = Hpp - sum_p Hpd^T Hdd^-1 Hpd  (per-frame blocks; the
         # cross-frame coupling through depths makes S block-dense).
         Hdd_inv = 1.0 / Hdd                              # [P]
         S = (jnp.einsum("pki,p,plj->kilj", Hpd, Hdd_inv, Hpd) * -1.0)
-        S = S.reshape(K * 6, K * 6) \
+        S = S.reshape(K * D, K * D) \
             + jax.scipy.linalg.block_diag(*[Hpp[k] for k in range(K)])
-        rhs = (bp.reshape(K * 6)
-               - jnp.einsum("pki,p,p->ki", Hpd, Hdd_inv, bd).reshape(K * 6))
+        rhs = (bp.reshape(K * D)
+               - jnp.einsum("pki,p,p->ki", Hpd, Hdd_inv, bd).reshape(K * D))
         # Levenberg damping, ADAPTIVE: lam shrinks on accepted steps and
         # grows on rejected ones (the photometric pose-depth trade-off is
         # ill-conditioned at small baselines; fixed damping lets
@@ -200,37 +223,48 @@ def bundle_adjust_window(
         S = S + lam * jnp.diag(jnp.maximum(jnp.diag(S), 1e-6))
         # Gauge + invalid frames: huge diagonal prior freezes them.
         frozen = ~fmask
-        prior = jnp.repeat(jnp.where(frozen, 1e12, 0.0), 6)
+        prior = jnp.repeat(jnp.where(frozen, 1e12, 0.0), D)
         S = S + jnp.diag(prior)
         if optimize_poses:
-            dtau = -jnp.linalg.solve(S, rhs).reshape(K, 6)
-            dtau = jnp.clip(dtau, -0.2, 0.2)
+            # Jacobi-normalize: with exposure columns the per-column
+            # scales span ~1..1e3, which a raw f32 solve cannot hold.
+            sc = jax.lax.rsqrt(jnp.diag(S) + 1e-12)
+            Sn = sc[:, None] * S * sc[None, :]
+            dtau = -(sc * jnp.linalg.solve(Sn, sc * rhs)).reshape(K, D)
+            dtau = jnp.clip(dtau, -step_clip, step_clip)
         else:
             # Depth-only refinement: exact per-point Newton.
-            dtau = jnp.zeros((K, 6))
+            dtau = jnp.zeros((K, D))
         # Back-substitute depths.
         corr = jnp.einsum("pki,ki->p", Hpd, dtau)
         dd = -(bd + corr) * Hdd_inv
         dd = jnp.clip(dd, -0.2, 0.2)
 
-        dT = SE3.exp(dtau)
+        dT = SE3.exp(dtau[:, :6])
         q_new = quat_mul(q, dT.q)
         t_new = quat_rotate(q, dT.t) + t
+        if estimate_affine:
+            g_new = jnp.clip(g + dtau[:, 6], 0.5, 2.0)
+            o_new = jnp.clip(o + dtau[:, 7], -96.0, 96.0)
+        else:
+            g_new, o_new = g, o
         d_new = jnp.clip(jnp.where(pvalid, d + dd, d), 1e-3, 10.0)
 
         # Accept/reject (trust-region-lite): keep the step only if the
         # robust cost does not increase; otherwise raise damping. This
         # makes the iteration monotone — degenerate windows stall
         # harmlessly instead of diverging.
-        cost_old = eval_cost(q, t, d, it_lvl)
-        cost_new = eval_cost(q_new, t_new, d_new, it_lvl)
+        cost_old = eval_cost(q, t, g, o, d, it_lvl)
+        cost_new = eval_cost(q_new, t_new, g_new, o_new, d_new, it_lvl)
         accept = cost_new <= cost_old
         q_out = jnp.where(accept, q_new, q)
         t_out = jnp.where(accept, t_new, t)
+        g_out = jnp.where(accept, g_new, g)
+        o_out = jnp.where(accept, o_new, o)
         d_out = jnp.where(accept, d_new, d)
         lam_out = jnp.clip(jnp.where(accept, lam * 0.5, lam * 8.0),
                            1e-4, 1e4)
-        return (q_out, t_out, d_out, lam_out), None
+        return (q_out, t_out, g_out, o_out, d_out, lam_out), None
 
     # Reference intensities per pyramid level (coarse-to-fine schedule:
     # coarse levels widen the photometric basin for large perturbations).
@@ -246,13 +280,16 @@ def bundle_adjust_window(
     schedule = jnp.concatenate([
         jnp.full((coarse_iters,), coarse, jnp.int32),
         jnp.full((num_iters,), level, jnp.int32)])
-    (q, t, d, _), _ = jax.lax.scan(
-        gn, (kf_q, kf_t, idepth0, jnp.float32(damping)), schedule)
+    (q, t, g, o, d, _), _ = jax.lax.scan(
+        gn, (kf_q, kf_t, jnp.ones((K,), jnp.float32),
+             jnp.zeros((K,), jnp.float32), idepth0,
+             jnp.float32(damping)), schedule)
 
-    # Final cost at the REFINED poses/depths.
+    # Final cost at the REFINED poses/depths (+ exposure models).
     def r_final(d_p, p_idx, j_idx):
         return _warp_residual(
-            jnp.zeros(6), d_p, uv_ref[p_idx], iref[p_idx],
+            jnp.zeros(6), d_p, uv_ref[p_idx],
+            g[j_idx] * iref[p_idx] + o[j_idx],
             q[j_idx], t[j_idx], ref_q, ref_t, kf_pyrs[j_idx], cam, lvl)
 
     rr, ww = jax.vmap(jax.vmap(r_final, in_axes=(None, None, 0)),
@@ -261,4 +298,5 @@ def bundle_adjust_window(
     cost = jnp.sum(jnp.where(w > 0, jnp.minimum(jnp.abs(rr), 3 * huber_delta),
                              0.0)) / jnp.maximum(jnp.sum(w), 1.0)
     return BAResult(q=q, t=t, idepths=d, final_cost=cost,
-                    n_valid=jnp.sum(pvalid.astype(jnp.int32)))
+                    n_valid=jnp.sum(pvalid.astype(jnp.int32)),
+                    gains=g, offsets=o)

@@ -119,3 +119,44 @@ def test_ba_joint_cost_decreases(setup, rng):
         cam=seq.cam, num_iters=12, level=1)
     assert float(r8.final_cost) < 0.85 * float(r0.final_cost), \
         f"cost {float(r0.final_cost)} -> {float(r8.final_cost)}"
+
+
+def test_ba_exposure_drift(setup, rng):
+    """Per-frame affine exposure (BENCH_NOTES roadmap item 7): one
+    keyframe has a gain/offset change; affine BA still refines the
+    perturbed pose and recovers the effective exposure map, while raw BA
+    is biased by the brightness mismatch."""
+    seq, pyrs, q, t, uvp, gt_idepth, pv, K = setup
+    # Exposure change on frame 1: I' = 1.15*I + 12.
+    pyrs_x = np.asarray(pyrs).copy()
+    pyrs_x[1] = np.clip(1.15 * pyrs_x[1] + 12.0, 0.0, 255.0)
+    pyrs_x = jnp.asarray(pyrs_x)
+    noise = np.zeros((K, 6), np.float32)
+    noise[1] = rng.normal(0, 0.02, 6)
+    Tn = [SE3(q[k], t[k]) @ SE3.exp(jnp.asarray(noise[k])) for k in range(K)]
+    qn = jnp.stack([p.q for p in Tn])
+    tn = jnp.stack([p.t for p in Tn])
+    before = _pose_errs(qn, tn, q, t, K)
+
+    res = bundle_adjust_window(
+        pyrs_x, qn, tn, jnp.ones(K, bool), uvp,
+        jnp.asarray(gt_idepth.astype(np.float32)), pv,
+        cam=seq.cam, num_iters=12, level=1, estimate_affine=True)
+    after = _pose_errs(res.q, res.t, q, t, K)
+    assert after[1] < 0.6 * before[1], (before, after)
+    # Effective exposure map for frame 1 ~ inverse of the injected one:
+    # residual form is I_j - (g*I_ref + o) and frame 1 was brightened, so
+    # g_1 should approach 1.15 (o trades off along the gain/offset
+    # degeneracy; check the map at working intensities).
+    g1, o1 = float(res.gains[1]), float(res.offsets[1])
+    for I in (96.0, 128.0, 176.0):
+        assert abs((g1 * I + o1) - (1.15 * I + 12.0)) < 14.0, (g1, o1, I)
+    # Raw BA on the same window: the exposure mismatch biases the
+    # photometric objective; affine BA must do at least as well on the
+    # pose it perturbs.
+    raw = bundle_adjust_window(
+        pyrs_x, qn, tn, jnp.ones(K, bool), uvp,
+        jnp.asarray(gt_idepth.astype(np.float32)), pv,
+        cam=seq.cam, num_iters=12, level=1, estimate_affine=False)
+    after_raw = _pose_errs(raw.q, raw.t, q, t, K)
+    assert after[1] <= after_raw[1] + 1e-3, (after, after_raw)
