@@ -76,10 +76,9 @@ def gather_ba_inputs(kf_valid, kf_ids, feat_valid, feat_kf_idx, feat_uv,
         pv.astype(jnp.float32)])
 
 
-def _warp_residual(tau_j, d_p, uv_p, iref_p, q_j, t_j, ref_q, ref_t,
-                   pyr_j, cam: Pinhole, level):
-    """Residual of point p in frame j under pose perturbation tau_j and
-    inverse depth d_p. Returns (residual, in-bounds weight)."""
+def _warp_uv(tau_j, d_p, uv_p, q_j, t_j, ref_q, ref_t, cam: Pinhole):
+    """Project point p (ref pixel uv_p, inverse depth d_p) into frame j
+    under pose perturbation tau_j. Returns (uv_j [2], in-front)."""
     dT = SE3.exp(tau_j)
     qj = quat_mul(q_j, dT.q)
     tj = quat_rotate(q_j, dT.t) + t_j
@@ -94,14 +93,38 @@ def _warp_residual(tau_j, d_p, uv_p, iref_p, q_j, t_j, ref_q, ref_t,
     zs = jnp.where(front, z, 1.0)
     uv_j = jnp.stack([cam.fx * X_j[0] / zs + cam.cx,
                       cam.fy * X_j[1] / zs + cam.cy])
+    return uv_j, front
+
+
+def _warp_residual(tau_j, d_p, uv_p, iref_p, q_j, t_j, ref_q, ref_t,
+                   pyr_j, cam: Pinhole, level):
+    """Residual of point p in frame j under pose perturbation tau_j and
+    inverse depth d_p. Returns (residual, in-bounds weight)."""
+    uv_j, front = _warp_uv(tau_j, d_p, uv_p, q_j, t_j, ref_q, ref_t, cam)
     val, ok = bilinear_pyramid(pyr_j, uv_j[None, :], level)
     w = (front & ok[0]).astype(jnp.float32)
     return (val[0] - iref_p) * w, w
 
 
+def _grad_mag(pyr, uv, level):
+    """Gradient magnitude of pyramid level at level-0 coords uv [2]
+    (central differences at the level's pixel pitch)."""
+    step = jnp.exp2(level.astype(jnp.float32))
+    du = jnp.array([1.0, 0.0]) * step
+    dv = jnp.array([0.0, 1.0]) * step
+    pu, oku = bilinear_pyramid(pyr, (uv + du)[None, :], level)
+    mu_, okmu = bilinear_pyramid(pyr, (uv - du)[None, :], level)
+    pv_, okv = bilinear_pyramid(pyr, (uv + dv)[None, :], level)
+    mv, okmv = bilinear_pyramid(pyr, (uv - dv)[None, :], level)
+    gx = (pu[0] - mu_[0]) / (2.0 * step)
+    gy = (pv_[0] - mv[0]) / (2.0 * step)
+    ok = oku[0] & okmu[0] & okv[0] & okmv[0]
+    return jnp.sqrt(gx * gx + gy * gy + 1e-6), ok
+
+
 @partial(jax.jit, static_argnames=("cam", "num_iters", "coarse_iters",
                                    "level", "optimize_poses",
-                                   "estimate_affine"))
+                                   "estimate_affine", "gradient_weight"))
 def bundle_adjust_window(
     kf_pyrs,           # [K, L, H, W] keyframe pyramids
     kf_q, kf_t,        # [K, 4], [K, 3] initial poses (camera-to-world)
@@ -113,13 +136,14 @@ def bundle_adjust_window(
     ref_index: int = 0,
     cam: Pinhole,
     num_iters: int = 5,
-    coarse_iters: int = 4,
+    coarse_iters: int = 10,
     level: int = 1,
     huber_delta: float = 8.0,
     depth_prior_weight: float = 50.0,
     damping: float = 0.1,
     optimize_poses: bool = True,
     estimate_affine: bool = True,
+    gradient_weight: float = 0.5,
 ):
     """Joint pose+depth Gauss-Newton over the keyframe window.
 
@@ -132,6 +156,13 @@ def bundle_adjust_window(
     the same Schur-reduced solve (frame blocks grow 6 -> 8; the depth
     elimination is unchanged). Auto-exposure keyframe windows otherwise
     bias the photometric optimum (BENCH_NOTES round-2 roadmap item 7).
+
+    gradient_weight > 0 adds a second residual channel per (point,
+    frame): the gradient-magnitude difference gw * (|grad I_j|(warp) -
+    gain_j * |grad I_ref|(p)) — gradient prefiltering sharpens the
+    photometric basin at far-keyframe baselines where raw intensity
+    optima sit off GT (roadmap item 7's other half). Rotation-invariant
+    (magnitude, not direction), exposure-offset-free by construction.
     """
     K = kf_q.shape[0]
     P = uv_ref.shape[0]
@@ -152,17 +183,27 @@ def bundle_adjust_window(
     # Per-frame parameter block: 6 pose DoF (+2 affine exposure).
     D = 8 if estimate_affine else 6
     step_clip = jnp.array([0.2] * 6 + [0.1, 8.0], jnp.float32)[:D]
+    use_grad = gradient_weight > 0.0
 
     def eval_cost(q, t, g, o, d, it_lvl):
         def r_one(d_p, p_idx, j_idx):
-            eff = g[j_idx] * iref_lv(it_lvl)[p_idx] + o[j_idx]
-            return _warp_residual(
-                jnp.zeros(6), d_p, uv_ref[p_idx], eff,
-                q[j_idx], t[j_idx], ref_q, ref_t, kf_pyrs[j_idx], cam,
-                it_lvl)
+            uv_j, front = _warp_uv(jnp.zeros(6), d_p, uv_ref[p_idx],
+                                   q[j_idx], t[j_idx], ref_q, ref_t, cam)
+            val, ok = bilinear_pyramid(kf_pyrs[j_idx], uv_j[None, :],
+                                       it_lvl)
+            w = (front & ok[0]).astype(jnp.float32)
+            r_i = (val[0] - (g[j_idx] * iref_lv(it_lvl)[p_idx]
+                             + o[j_idx])) * w
+            if not use_grad:
+                return r_i[None], w
+            gm, gok = _grad_mag(kf_pyrs[j_idx], uv_j, it_lvl)
+            wg = w * gok.astype(jnp.float32)
+            r_g = gradient_weight * (
+                gm - g[j_idx] * gref_lv(it_lvl)[p_idx]) * wg
+            return jnp.stack([r_i, r_g]), w
         rr, ww = jax.vmap(jax.vmap(r_one, in_axes=(None, None, 0)),
                           in_axes=(0, 0, None))(d, p_ids, j_ids)
-        w = (ww * fmask[None, :] * pvalid[:, None])
+        w = (ww * fmask[None, :] * pvalid[:, None])[..., None]  # [P,K,1]
         return jnp.sum(jnp.where(
             w > 0, jnp.minimum(jnp.abs(rr), 3 * huber_delta), 0.0)) \
             / jnp.maximum(jnp.sum(w), 1.0)
@@ -173,40 +214,49 @@ def bundle_adjust_window(
         def residual_cur(tau_j, d_p, p_idx, j_idx):
             # tau_j: [D] — pose twist (+ exposure perturbation).
             if estimate_affine:
-                eff = ((g[j_idx] + tau_j[6]) * iref_lv(it_lvl)[p_idx]
-                       + (o[j_idx] + tau_j[7]))
+                g_eff = g[j_idx] + tau_j[6]
+                o_eff = o[j_idx] + tau_j[7]
             else:
-                eff = g[j_idx] * iref_lv(it_lvl)[p_idx] + o[j_idx]
-            return _warp_residual(
-                tau_j[:6], d_p, uv_ref[p_idx], eff,
-                q[j_idx], t[j_idx], ref_q, ref_t,
-                kf_pyrs[j_idx], cam, it_lvl)
+                g_eff, o_eff = g[j_idx], o[j_idx]
+            uv_j, front = _warp_uv(tau_j[:6], d_p, uv_ref[p_idx],
+                                   q[j_idx], t[j_idx], ref_q, ref_t, cam)
+            val, ok = bilinear_pyramid(kf_pyrs[j_idx], uv_j[None, :],
+                                       it_lvl)
+            w = (front & ok[0]).astype(jnp.float32)
+            r_i = (val[0] - (g_eff * iref_lv(it_lvl)[p_idx] + o_eff)) * w
+            if not use_grad:
+                return r_i[None], w
+            gm, gok = _grad_mag(kf_pyrs[j_idx], uv_j, it_lvl)
+            wg = w * gok.astype(jnp.float32)
+            r_g = gradient_weight * (
+                gm - g_eff * gref_lv(it_lvl)[p_idx]) * wg
+            return jnp.stack([r_i, r_g]), w
 
         def r_and_jac_cur(d_p, p_idx, j_idx):
             f = lambda tau, dd: residual_cur(tau, dd, p_idx, j_idx)[0]
             tau0 = jnp.zeros(D)
             r, w = residual_cur(tau0, d_p, p_idx, j_idx)
-            Jt = jax.jacfwd(f, argnums=0)(tau0, d_p)
-            Jd = jax.jacfwd(f, argnums=1)(tau0, d_p)
+            Jt = jax.jacfwd(f, argnums=0)(tau0, d_p)     # [C, D]
+            Jd = jax.jacfwd(f, argnums=1)(tau0, d_p)     # [C]
             return r, w, Jt, Jd
 
         rr, ww, Jt, Jd = jax.vmap(
             jax.vmap(r_and_jac_cur, in_axes=(None, None, 0)),
             in_axes=(0, 0, None))(d, p_ids, j_ids)
-        # rr, ww: [P, K]; Jt: [P, K, 6]; Jd: [P, K]
+        # rr: [P, K, C]; ww: [P, K]; Jt: [P, K, C, D]; Jd: [P, K, C]
         hub = jnp.where(jnp.abs(rr) <= huber_delta, 1.0,
                         huber_delta / jnp.maximum(jnp.abs(rr), 1e-6))
-        w = (ww * hub * fmask[None, :].astype(jnp.float32)
-             * pvalid[:, None].astype(jnp.float32))
+        w = (hub * (ww * fmask[None, :].astype(jnp.float32)
+                    * pvalid[:, None].astype(jnp.float32))[..., None])
 
         # Blocks (per frame j): Hpp_j [D,D], bp_j [D]; per point: Hdd [P].
-        Hpp = jnp.einsum("pk,pki,pkj->kij", w, Jt, Jt)
-        bp = jnp.einsum("pk,pki,pk->ki", w, Jt, rr)
-        Hdd = jnp.sum(w * Jd * Jd, axis=1) + depth_prior_weight
-        bd = jnp.sum(w * Jd * rr, axis=1) \
+        Hpp = jnp.einsum("pkc,pkci,pkcj->kij", w, Jt, Jt)
+        bp = jnp.einsum("pkc,pkci,pkc->ki", w, Jt, rr)
+        Hdd = jnp.sum(w * Jd * Jd, axis=(1, 2)) + depth_prior_weight
+        bd = jnp.sum(w * Jd * rr, axis=(1, 2)) \
             + depth_prior_weight * (d - idepth0)
-        # Coupling Hpd: [P, K, D] (point p x frame j).
-        Hpd = w[..., None] * Jd[..., None] * Jt
+        # Coupling Hpd: [P, K, D] (point p x frame j, channels folded).
+        Hpd = jnp.einsum("pkc,pkc,pkci->pki", w, Jd, Jt)
 
         # Schur: S = Hpp - sum_p Hpd^T Hdd^-1 Hpd  (per-frame blocks; the
         # cross-frame coupling through depths makes S block-dense).
@@ -275,6 +325,27 @@ def bundle_adjust_window(
 
     def iref_lv(l):
         return iref_all[l]
+
+    if use_grad:
+        def _gref_at(l):
+            lv = jnp.full((P,), l, jnp.int32)
+            step = float(2 ** l)
+            du = jnp.array([step, 0.0])
+            dv = jnp.array([0.0, step])
+            pu = bilinear_pyramid(kf_pyrs[ref_index], uv_ref + du, lv)[0]
+            mu_ = bilinear_pyramid(kf_pyrs[ref_index], uv_ref - du, lv)[0]
+            pv_ = bilinear_pyramid(kf_pyrs[ref_index], uv_ref + dv, lv)[0]
+            mv = bilinear_pyramid(kf_pyrs[ref_index], uv_ref - dv, lv)[0]
+            gx = (pu - mu_) / (2.0 * step)
+            gy = (pv_ - mv) / (2.0 * step)
+            return jnp.sqrt(gx * gx + gy * gy + 1e-6)
+        gref_all = jnp.stack([_gref_at(l) for l in range(n_levels)])
+
+        def gref_lv(l):
+            return gref_all[l]
+    else:
+        def gref_lv(l):
+            return jnp.zeros((P,), jnp.float32)
 
     coarse = min(level + 1, n_levels - 1)
     schedule = jnp.concatenate([
