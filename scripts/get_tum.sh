@@ -58,11 +58,19 @@ projection_matrix:
   data: [535.4, 0.0, 320.1, 0.0, 0.0, 539.2, 247.6, 0.0, 0.0, 0.0, 1.0, 0.0]
 EOF
 
+# Kinect auto-exposes: brightness-offset-invariant epipolar matching
+# (the reference's raw SSD is kept for synthetic parity runs).
+cat > "$OUT/$SEQ/flame_params.yaml" <<'EOF2'
+engine:
+  zero_mean_ssd: true
+EOF2
+
 echo ">> running offline evaluation ($FRAMES frames)"
 PYTHONPATH="$REPO" python -m flame_ros_tpu.frontends.offline_runner \
   --dataset tum \
   --input "$OUT/$SEQ/associations.txt" \
   --calib "$OUT/$SEQ/kinect.yaml" \
+  --config "$OUT/$SEQ/flame_params.yaml" \
   --frames "$FRAMES" \
   --out "$OUT/results_$SEQ"
 
