@@ -286,7 +286,8 @@ class FlameNodelet:
         import jax.numpy as jnp
 
         from flame_ros_tpu.models.ba import (bundle_adjust_window,
-                                             gather_ba_inputs)
+                                             gather_ba_inputs,
+                                             match_window_points)
 
         st = self.engine.state
         P = 256
@@ -311,11 +312,22 @@ class FlameNodelet:
         # Roll the ring so the gauge sits at index 0 (ref_index is a
         # static jit argument; rolling keeps it at one compilation).
         roll = lambda a: jnp.roll(a, -ref_slot, axis=0)
+        kf_pyrs_r = roll(st.kf_pyrs)
+        kf_q_r, kf_t_r = roll(st.kf_q), roll(st.kf_t)
+        # Reprojection channels: epipolar pixel matches of the BA points
+        # into every window frame (one vmapped dispatch) — hybrid BA
+        # keeps badly-drifted keyframes recoverable where photometric
+        # residuals alone have a narrow basin.
+        uv_obs, obs_ok = match_window_points(
+            kf_pyrs_r[0], kf_q_r[0], kf_t_r[0], kf_pyrs_r, kf_q_r,
+            kf_t_r, jnp.asarray(uv), jnp.asarray(d0), jnp.asarray(pv),
+            cam=self.cam)
         res = bundle_adjust_window(
-            roll(st.kf_pyrs), roll(st.kf_q), roll(st.kf_t),
+            kf_pyrs_r, kf_q_r, kf_t_r,
             roll(st.kf_valid), jnp.asarray(uv), jnp.asarray(d0),
             jnp.asarray(pv), ref_index=0, cam=self.cam,
-            num_iters=4, coarse_iters=2, level=1)
+            num_iters=4, coarse_iters=2, level=1,
+            uv_obs=uv_obs, obs_valid=obs_ok)
         self.ba_costs.append(float(res.final_cost))
         q = np.roll(np.asarray(res.q), ref_slot, axis=0)
         t = np.roll(np.asarray(res.t), ref_slot, axis=0)

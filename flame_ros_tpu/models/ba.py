@@ -76,6 +76,39 @@ def gather_ba_inputs(kf_valid, kf_ids, feat_valid, feat_kf_idx, feat_uv,
         pv.astype(jnp.float32)])
 
 
+@partial(jax.jit, static_argnames=("cam",))
+def match_window_points(ref_pyr, ref_q, ref_t, kf_pyrs, kf_q, kf_t,
+                        uv, d0, pv, *, cam: Pinhole):
+    """Epipolar pixel matches of the BA points into every window frame
+    (ONE vmapped dispatch): feeds bundle_adjust_window's reprojection
+    channels. Returns (uv_obs [P, K, 2], valid [P, K]).
+
+    Caveat: the search line assumes the CURRENT frame poses, so match
+    positions carry a second-order bias when those poses are wrong (the
+    true correspondence is projected onto the slightly-wrong epipolar
+    line). The constraint still widens the recovery basin far beyond
+    photometric-only BA; the test suite covers both the oracle-match
+    and the product-path behavior."""
+    from flame_ros_tpu.ops import epipolar as ep
+    P = uv.shape[0]
+    state = ep.FeatureFilterState(
+        uv_ref=uv, kf_idx=jnp.zeros(P, jnp.int32), mu=d0,
+        # Tight prior around the supplied depths: the matcher only
+        # localizes, the filter never updates from these.
+        var=jnp.full((P,), 0.0025, jnp.float32),
+        dropouts=jnp.zeros(P, jnp.int32), valid=pv,
+        frame_id=jnp.zeros(P, jnp.int32))
+
+    def one(pyr_j, q_j, t_j):
+        res = ep.epipolar_update(
+            state, ref_pyr[None], ref_q[None], ref_t[None],
+            pyr_j, q_j, t_j, cam=cam)
+        return res.uv_match, res.status == ep.STATUS_OK
+
+    uvm, ok = jax.vmap(one)(kf_pyrs, kf_q, kf_t)  # [K, P, 2], [K, P]
+    return uvm.transpose(1, 0, 2), ok.T
+
+
 def _warp_uv(tau_j, d_p, uv_p, q_j, t_j, ref_q, ref_t, cam: Pinhole):
     """Project point p (ref pixel uv_p, inverse depth d_p) into frame j
     under pose perturbation tau_j. Returns (uv_j [2], in-front)."""
@@ -144,6 +177,9 @@ def bundle_adjust_window(
     optimize_poses: bool = True,
     estimate_affine: bool = True,
     gradient_weight: float = 0.5,
+    uv_obs=None,           # [P, K, 2] observed pixel matches per frame
+    obs_valid=None,        # [P, K] bool
+    reproj_weight: float = 4.0,
 ):
     """Joint pose+depth Gauss-Newton over the keyframe window.
 
@@ -163,6 +199,15 @@ def bundle_adjust_window(
     photometric basin at far-keyframe baselines where raw intensity
     optima sit off GT (roadmap item 7's other half). Rotation-invariant
     (magnitude, not direction), exposure-offset-free by construction.
+
+    uv_obs/obs_valid (optional) add REPROJECTION residual channels:
+    reproj_weight * (pi(warp) - uv_obs[p, j]). Pixel matches (e.g. from
+    the epipolar matcher) are near-convex over far larger pose errors
+    than photometric residuals, so these pull a badly-perturbed far
+    keyframe back into the photometric basin — the hybrid-BA answer to
+    the wrong-basin failure recorded in BENCH_NOTES item 7. Weighted so
+    reproj_weight px of reprojection error trades against one gray
+    level of intensity error.
     """
     K = kf_q.shape[0]
     P = uv_ref.shape[0]
@@ -184,23 +229,35 @@ def bundle_adjust_window(
     D = 8 if estimate_affine else 6
     step_clip = jnp.array([0.2] * 6 + [0.1, 8.0], jnp.float32)[:D]
     use_grad = gradient_weight > 0.0
+    use_reproj = uv_obs is not None
+    if use_reproj and obs_valid is None:
+        obs_valid = jnp.ones(uv_obs.shape[:2], bool)
+
+    def _res_channels(tau6, g_eff, o_eff, d_p, p_idx, j_idx, q_j, t_j,
+                      it_lvl):
+        """All residual channels [C] + in-bounds weight for one
+        (point, frame) pair: intensity (+ gradient) (+ reprojection)."""
+        uv_j, front = _warp_uv(tau6, d_p, uv_ref[p_idx], q_j, t_j,
+                               ref_q, ref_t, cam)
+        val, ok = bilinear_pyramid(kf_pyrs[j_idx], uv_j[None, :], it_lvl)
+        w = (front & ok[0]).astype(jnp.float32)
+        chans = [(val[0] - (g_eff * iref_lv(it_lvl)[p_idx] + o_eff)) * w]
+        if use_grad:
+            gm, gok = _grad_mag(kf_pyrs[j_idx], uv_j, it_lvl)
+            chans.append(gradient_weight
+                         * (gm - g_eff * gref_lv(it_lvl)[p_idx])
+                         * w * gok.astype(jnp.float32))
+        if use_reproj:
+            wo = w * obs_valid[p_idx, j_idx].astype(jnp.float32)
+            du = uv_j - uv_obs[p_idx, j_idx]
+            chans.append(reproj_weight * du[0] * wo)
+            chans.append(reproj_weight * du[1] * wo)
+        return jnp.stack(chans), w
 
     def eval_cost(q, t, g, o, d, it_lvl):
         def r_one(d_p, p_idx, j_idx):
-            uv_j, front = _warp_uv(jnp.zeros(6), d_p, uv_ref[p_idx],
-                                   q[j_idx], t[j_idx], ref_q, ref_t, cam)
-            val, ok = bilinear_pyramid(kf_pyrs[j_idx], uv_j[None, :],
-                                       it_lvl)
-            w = (front & ok[0]).astype(jnp.float32)
-            r_i = (val[0] - (g[j_idx] * iref_lv(it_lvl)[p_idx]
-                             + o[j_idx])) * w
-            if not use_grad:
-                return r_i[None], w
-            gm, gok = _grad_mag(kf_pyrs[j_idx], uv_j, it_lvl)
-            wg = w * gok.astype(jnp.float32)
-            r_g = gradient_weight * (
-                gm - g[j_idx] * gref_lv(it_lvl)[p_idx]) * wg
-            return jnp.stack([r_i, r_g]), w
+            return _res_channels(jnp.zeros(6), g[j_idx], o[j_idx], d_p,
+                                 p_idx, j_idx, q[j_idx], t[j_idx], it_lvl)
         rr, ww = jax.vmap(jax.vmap(r_one, in_axes=(None, None, 0)),
                           in_axes=(0, 0, None))(d, p_ids, j_ids)
         w = (ww * fmask[None, :] * pvalid[:, None])[..., None]  # [P,K,1]
@@ -218,19 +275,8 @@ def bundle_adjust_window(
                 o_eff = o[j_idx] + tau_j[7]
             else:
                 g_eff, o_eff = g[j_idx], o[j_idx]
-            uv_j, front = _warp_uv(tau_j[:6], d_p, uv_ref[p_idx],
-                                   q[j_idx], t[j_idx], ref_q, ref_t, cam)
-            val, ok = bilinear_pyramid(kf_pyrs[j_idx], uv_j[None, :],
-                                       it_lvl)
-            w = (front & ok[0]).astype(jnp.float32)
-            r_i = (val[0] - (g_eff * iref_lv(it_lvl)[p_idx] + o_eff)) * w
-            if not use_grad:
-                return r_i[None], w
-            gm, gok = _grad_mag(kf_pyrs[j_idx], uv_j, it_lvl)
-            wg = w * gok.astype(jnp.float32)
-            r_g = gradient_weight * (
-                gm - g_eff * gref_lv(it_lvl)[p_idx]) * wg
-            return jnp.stack([r_i, r_g]), w
+            return _res_channels(tau_j[:6], g_eff, o_eff, d_p,
+                                 p_idx, j_idx, q[j_idx], t[j_idx], it_lvl)
 
         def r_and_jac_cur(d_p, p_idx, j_idx):
             f = lambda tau, dd: residual_cur(tau, dd, p_idx, j_idx)[0]
