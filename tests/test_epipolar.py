@@ -1,5 +1,6 @@
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from flame_ros_tpu.datasets.synthetic import make_sequence, QVGA
 from flame_ros_tpu.ops.detection import detect_features, cell_grid_shape
@@ -40,8 +41,6 @@ def _gt_idepth_at(seq, uv):
 def _pyr(img):
     return build_pyramid(jnp.asarray(img))
 
-
-import pytest
 
 
 @pytest.mark.parametrize("mode", ["line", "patch"])
@@ -222,3 +221,32 @@ def test_zero_mean_ssd_brightness_drift():
     # Drift also clips/compresses contrast, so precision degrades vs the
     # clean-sequence 0.004 — gate on "still tracking", not clean-level.
     assert np.median(err) < 0.05, np.median(err)
+
+
+def test_epipolar_forward_motion_foe():
+    """Forward motion puts the epipole (focus of expansion) INSIDE the
+    image: epipolar lines radiate from the FOE and their direction varies
+    per feature. Exercises the d_ref/epipole math in both sampling modes;
+    features near the FOE legitimately fail (no parallax along the line)
+    but the rest must converge."""
+    seq = make_sequence(n_frames=10, cam=QVGA, motion="forward")
+    state, n = _init_state_from_detections(seq)
+    kf_pyrs = _pyr(seq.images[0])[None]
+    for mode in ("line", "patch"):
+        st = state
+        for i in range(1, 10):
+            res = epipolar_update(
+                st, kf_pyrs, seq.poses.q[:1], seq.poses.t[:1],
+                _pyr(seq.images[i]), seq.poses.q[i], seq.poses.t[i],
+                cam=seq.cam, mode=mode)
+            st = res.state
+        gt = _gt_idepth_at(seq, np.asarray(st.uv_ref))
+        # Exclude a radius around the FOE (forward motion: epipole ~ the
+        # principal point) where depth is unobservable.
+        uvr = np.asarray(st.uv_ref)
+        r_foe = np.hypot(uvr[:, 0] - seq.cam.cx, uvr[:, 1] - seq.cam.cy)
+        valid = np.asarray(st.valid) & (gt > 0) & (r_foe > 40.0)
+        conv = valid & (np.asarray(st.var) < 0.01)
+        assert conv.sum() > 0.3 * n, (mode, conv.sum(), n)
+        err = np.abs(np.asarray(st.mu) - gt)[conv]
+        assert np.median(err) < 0.02, (mode, np.median(err))
