@@ -73,6 +73,29 @@ def idepth_rmse(idepths, depth):
     return jnp.sqrt(jnp.sum(se) / n)
 
 
+@jax.jit
+def depth_metrics(idepths, depth):
+    """Standard monodepth accuracy metrics over covered GT pixels
+    (beyond the reference's confusion matrix/RMSE — included so runs are
+    directly comparable against the monodepth literature):
+    abs_rel = mean(|d_est - d_gt| / d_gt), and the delta inlier ratios
+    P(max(d_est/d_gt, d_gt/d_est) < 1.25^k) for k = 1, 2, 3.
+    Depths are evaluated in METERS (estimates converted from inverse
+    depth)."""
+    has = (depth > 0) & jnp.isfinite(idepths) & (idepths > 1e-6)
+    d_est = 1.0 / jnp.maximum(jnp.nan_to_num(idepths, nan=1.0), 1e-6)
+    d_gt = jnp.maximum(depth, 1e-6)
+    n = jnp.maximum(jnp.sum(has.astype(jnp.float32)), 1.0)
+    abs_rel = jnp.sum(jnp.where(has, jnp.abs(d_est - d_gt) / d_gt,
+                                0.0)) / n
+    ratio = jnp.maximum(d_est / d_gt, d_gt / d_est)
+    out = {"abs_rel": abs_rel}
+    for k, thr in ((1, 1.25), (2, 1.25 ** 2), (3, 1.25 ** 3)):
+        out[f"delta{k}"] = jnp.sum(
+            jnp.where(has, (ratio < thr).astype(jnp.float32), 0.0)) / n
+    return out
+
+
 @dataclass
 class TruthStats:
     true_pos: int

@@ -43,7 +43,22 @@ class RunResult:
     mean_precision: float = float("nan")
     mean_recall: float = float("nan")
     final_coverage: float = 0.0
+    # Standard monodepth metrics on the FINAL frame's dense map (meters):
+    # comparable against the monodepth literature.
+    final_abs_rel: float = float("nan")
+    final_delta1: float = float("nan")
     stats_path: Optional[str] = None
+
+
+def _final_depth_metrics(res: "RunResult", engine, last_gt) -> None:
+    if last_gt is None:
+        return
+    import jax.numpy as jnp
+    from flame_ros_tpu.eval.metrics import depth_metrics
+    m = depth_metrics(jnp.asarray(engine.get_inverse_depth_map()),
+                      jnp.asarray(last_gt, jnp.float32))
+    res.final_abs_rel = float(m["abs_rel"])
+    res.final_delta1 = float(m["delta1"])
 
 
 def run_offline_windowed(frames: Iterable, cam, params: FlameParams,
@@ -61,6 +76,7 @@ def run_offline_windowed(frames: Iterable, cam, params: FlameParams,
         if out_dir else None
     pf_every = params.input.poseframe_subsample_factor
     sub = params.input.subsample_factor
+    last_gt = None
     res = RunResult()
     rmses, precs, recs = [], [], []
     t_start = time_mod.perf_counter()
@@ -105,6 +121,8 @@ def run_offline_windowed(frames: Iterable, cam, params: FlameParams,
         pose = SE3.from_quat_trans(frame.quat, frame.trans)
         buf.append((frame.time, frame.img_id, pose, frame.gray, is_pf))
         gts.append(frame.depth if np.any(frame.depth > 0) else None)
+        if gts[-1] is not None:
+            last_gt = gts[-1]
         if len(buf) >= window:
             flush()
     flush()
@@ -117,6 +135,7 @@ def run_offline_windowed(frames: Iterable, cam, params: FlameParams,
         res.mean_precision = float(np.mean(precs))
     if recs:
         res.mean_recall = float(np.mean(recs))
+    _final_depth_metrics(res, engine, last_gt)
     res.final_coverage = float(engine.stats_.stats("coverage"))
     if writer:
         res.stats_path = writer.path
@@ -152,6 +171,7 @@ def run_offline(frames: Iterable, cam, params: FlameParams,
 
     res = RunResult()
     rmses, precs, recs = [], [], []
+    last_gt = None
     t_start = time_mod.perf_counter()
     n_proc = 0
     for frame in frames:
@@ -162,6 +182,8 @@ def run_offline(frames: Iterable, cam, params: FlameParams,
         pose = SE3.from_quat_trans(frame.quat, frame.trans)
         is_pf = (n_proc % pf_every) == 0
         has_gt = np.any(frame.depth > 0)
+        if has_gt:
+            last_gt = frame.depth
         truth = None
         if pass_in_truth and has_gt:
             truth = np.where(frame.depth > 0,
@@ -222,6 +244,7 @@ def run_offline(frames: Iterable, cam, params: FlameParams,
         res.mean_precision = float(np.mean(precs))
     if recs:
         res.mean_recall = float(np.mean(recs))
+    _final_depth_metrics(res, engine, last_gt)
     res.final_coverage = float(engine.stats_.stats("coverage"))
     if writer:
         res.stats_path = writer.path
@@ -377,6 +400,10 @@ def main(argv=None):
         "recall": (round(res.mean_recall, 4)
                    if np.isfinite(res.mean_recall) else None),
         "coverage": round(res.final_coverage, 4),
+        "abs_rel": (round(res.final_abs_rel, 4)
+                    if np.isfinite(res.final_abs_rel) else None),
+        "delta1": (round(res.final_delta1, 4)
+                   if np.isfinite(res.final_delta1) else None),
     }
     print(json.dumps(summary))
     return res

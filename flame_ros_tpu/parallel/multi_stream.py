@@ -20,6 +20,7 @@ triangulation stays per-stream on the host at poseframe rate.
 """
 from __future__ import annotations
 
+from collections import deque
 from functools import partial
 
 import jax
@@ -200,7 +201,8 @@ class MultiStreamRunner:
         # frame late (FLaME already smooths over stale topology between
         # poseframes), taking the host work off the critical path.
         self.deferred = deferred_triangulation
-        self._pending_topo = None
+        self._pending_topo = deque()  # in-flight deferred topo jobs
+        self.topo_dropped = 0  # retriangulations skipped under pressure
         self.states = init_batched_state(num_streams, self.params, cam)
         if mesh is not None:
             self.states = place(self.states, state_shardings(mesh))
@@ -222,9 +224,10 @@ class MultiStreamRunner:
         input.poseframe_subsample_factor-th processed frame is a
         poseframe for ALL streams."""
         assert len(frames) == self.S
-        if self._pending_topo is not None:
-            self._install_topologies(self._pending_topo.result())
-            self._pending_topo = None
+        # Install completed deferred topologies (issue order, never
+        # blocking the dispatch path — engine semantics).
+        while self._pending_topo and self._pending_topo[0].done():
+            self._install_topologies(self._pending_topo.popleft().result())
         pf_every = max(self.params.input.poseframe_subsample_factor, 1)
         is_pf = (self._frame_count % pf_every == 0)
         kf_slot = self._kf_slot
@@ -256,14 +259,29 @@ class MultiStreamRunner:
         self._frame_count += 1
         if is_pf:
             if self.deferred:
-                self._ensure_pool()
-                graph_dev = (self.states.vtx_uv, self.states.vtx_in_graph)
-                self._pending_topo = self._tri_pool.submit(
-                    self._build_topologies, graph_dev)
+                # Bounded pipeline with drop backpressure (mirrors
+                # Flame._schedule_triangulation): when the host/link
+                # cannot keep up, skip THIS retriangulation — topology
+                # staleness grows one poseframe period and the next
+                # poseframe tries again.
+                if len(self._pending_topo) >= 2:
+                    self.topo_dropped += 1
+                else:
+                    self._ensure_pool()
+                    graph_dev = (self.states.vtx_uv,
+                                 self.states.vtx_in_graph)
+                    self._pending_topo.append(self._tri_pool.submit(
+                        self._build_topologies, graph_dev))
             else:
                 self._install_topologies(self._build_topologies(
                     (self.states.vtx_uv, self.states.vtx_in_graph)))
         return True
+
+    def drain_topologies(self):
+        """Block until every in-flight deferred topology is installed
+        (call before reading final meshes/maps)."""
+        while self._pending_topo:
+            self._install_topologies(self._pending_topo.popleft().result())
 
     def _ensure_pool(self):
         if self._tri_pool is None:

@@ -17,6 +17,9 @@ def test_runner_synthetic_end_to_end(tmp_path, capsys):
     assert summary["idepth_rmse"] is not None
     assert summary["idepth_rmse"] < 0.1
     assert summary["coverage"] > 0.4
+    # Standard monodepth metrics (final frame, meters).
+    assert 0.0 < summary["abs_rel"] < 0.25
+    assert summary["delta1"] > 0.6
 
     # Reference-protocol artifacts exist and parse.
     from flame_ros_tpu.eval.metrics import load_stats_file
