@@ -81,8 +81,11 @@ class EngineState(NamedTuple):
     # Previous processed frame (for project_graph).
     prev_q: jax.Array       # [4]
     prev_t: jax.Array       # [3]
-    # Last dense idepth map (prediction source for new detections).
-    last_idepth: jax.Array  # [H, W] (NaN where invalid)
+    # Last raster products (prediction source for new detections; the
+    # dense idepth map evaluates lazily at getter/eval time —
+    # raster.idepth_from_ids — saving ~1.9 ms/frame on v5e).
+    last_idmap: jax.Array   # [H, W] int32 triangle ids (-1 uncovered)
+    last_planes: jax.Array  # [T, 3] affine idepth planes
     # Per-detection-cell mean abs photometric error of the previous frame
     # (min_error redetection: occupied cells whose mesh no longer explains
     # the image re-open for detection, reference features/detection/
@@ -128,7 +131,8 @@ def init_state(params: FlameParams, cam: Pinhole) -> EngineState:
         kf_ids=jnp.full((K,), -1, jnp.int32),
         prev_q=jnp.array([1.0, 0, 0, 0], f32),
         prev_t=jnp.zeros((3,), f32),
-        last_idepth=jnp.full((H, W), jnp.nan, f32),
+        last_idmap=jnp.full((H, W), -1, jnp.int32),
+        last_planes=jnp.zeros((params.engine.max_triangles, 3), f32),
         cell_err=jnp.zeros((H // params.features.detection.win_size,
                             W // params.features.detection.win_size), f32),
     )
@@ -335,10 +339,8 @@ def _track_step(state: EngineState, img_pyr, cur_q, cur_t, frame_id,
         med = _masked_median(
             feat.mu, feat.valid & (feat.var < reg.idepth_var_max),
             jnp.float32(eng.init_idepth))
-        pred, pok = bilinear_pyramid(
-            jnp.concatenate([jnp.nan_to_num(state.last_idepth, nan=-1.0)[None],
-                             jnp.zeros((NUM_LEVELS - 1,) + state.last_idepth.shape)]),
-            duv, jnp.zeros(duv.shape[0], jnp.int32))
+        pred, pok = raster_ops.sample_idepth_at(
+            state.last_idmap, state.last_planes, duv)
         use_pred = (reg.init_with_prediction
                     & pok & jnp.isfinite(pred) & (pred > eng.idepth_min))
         mu0 = jnp.where(use_pred, jnp.nan_to_num(pred, nan=0.5), med)
@@ -448,10 +450,11 @@ DEVICE_STATS_KEYS = (
 )
 
 
-@partial(jax.jit, static_argnames=("cam", "params", "has_gt"))
+@partial(jax.jit, static_argnames=("cam", "params", "has_gt",
+                                   "dense_products"))
 def _smooth_step(state: EngineState, img_pyr, cur_q, cur_t, track_counts,
                  gt_depth, *, cam: Pinhole, params: FlameParams,
-                 has_gt: bool = False):
+                 has_gt: bool = False, dense_products: bool = False):
     """Fused device computation after (optional) retriangulation: NLTGV2
     sweeps, rasterization, photometric error, coverage, and (optionally)
     the ground-truth confusion matrix — all telemetry packed into one
@@ -506,12 +509,20 @@ def _smooth_step(state: EngineState, img_pyr, cur_q, cur_t, track_counts,
         vtx_x = jnp.where(sticky, state.vtx_z, vtx_x)
 
     # --- rasterize ------------------------------------------------------
-    idepth_map, idmap = raster_ops.rasterize_idepth(
+    # Per-frame products are the id buffer + planes; the DENSE idepth
+    # evaluation (a 307k gather, ~1.9 ms on v5e) is deferred to getter/
+    # eval time unless this step itself consumes it (GT confusion, or a
+    # caller that wants the dense map returned).
+    idmap, planes = raster_ops.rasterize_ids(
         state.vtx_uv, vtx_x, state.tris, state.tri_valid,
         height=cam.height, width=cam.width,
         use_pallas=eng.use_pallas_raster,
         pallas_kernel=eng.pallas_raster_kernel)
-    cov = raster_ops.coverage(idepth_map)
+    cov = jnp.mean((idmap >= 0).astype(jnp.float32))
+    if has_gt or dense_products:
+        idepth_map = raster_ops.idepth_from_ids(idmap, planes)
+    else:
+        idepth_map = None
 
     # --- photometric error (vs most recent keyframe) -------------------
     # Telemetry stat (reference publishes per-frame photo error). Sampled
@@ -526,9 +537,12 @@ def _smooth_step(state: EngineState, img_pyr, cur_q, cur_t, track_counts,
     u = jax.lax.broadcasted_iota(jnp.float32, (hs, ws), 1) * float(ps)
     v = jax.lax.broadcasted_iota(jnp.float32, (hs, ws), 0) * float(ps)
     sidx = (v * cam.width + u).astype(jnp.int32)
-    xi = jnp.take(jnp.nan_to_num(idepth_map, nan=0.0).reshape(-1), sidx)
+    ids_s = jnp.take(idmap.reshape(-1), sidx)
+    g_s = planes[jnp.clip(ids_s, 0)]
+    xi = g_s[..., 0] + g_s[..., 1] * u + g_s[..., 2] * v
+    xi = jnp.where(ids_s >= 0, xi, 0.0)
     img_s = jnp.take(img_pyr[0].reshape(-1), sidx)
-    ok = jnp.take(jnp.isfinite(idepth_map).reshape(-1), sidx) & (xi > 1e-3)
+    ok = (ids_s >= 0) & (xi > 1e-3)
     X = cam.backproject(jnp.stack([u, v], -1), jnp.maximum(xi, 1e-3))
     q_kc = quat_mul(quat_conj(state.kf_q[kf_slot]), cur_q)
     t_kc = quat_rotate(quat_conj(state.kf_q[kf_slot]),
@@ -605,8 +619,11 @@ def _smooth_step(state: EngineState, img_pyr, cur_q, cur_t, track_counts,
         health,
     ])
     new_state = state._replace(vtx_x=vtx_x, vtx_w=vtx_w, edge_q=edge_q,
-                               last_idepth=idepth_map, cell_err=cell_err)
-    return new_state, idepth_map, stats_vec
+                               last_idmap=idmap, last_planes=planes,
+                               cell_err=cell_err)
+    idepth_out = (idepth_map if (has_gt or dense_products)
+                  else jnp.zeros((0,), jnp.float32))
+    return new_state, idepth_out, stats_vec
 
 
 @jax.jit
@@ -1226,7 +1243,8 @@ class Flame:
         """Raw dense idepth map (NaN where uncovered). Pulled from device
         on demand and cached per frame."""
         if self._host_idepth_frame != self._frame_count:
-            self._host_idepth = np.asarray(self.state.last_idepth)
+            self._host_idepth = np.asarray(raster_ops.idepth_from_ids(
+                self.state.last_idmap, self.state.last_planes))
             self._host_idepth_frame = self._frame_count
         return self._host_idepth
 

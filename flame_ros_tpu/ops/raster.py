@@ -124,10 +124,12 @@ def rasterize_tri_ids(vtx_pos, tris, tri_valid, *, height: int, width: int,
 
 @partial(jax.jit, static_argnames=("height", "width", "use_pallas",
                                    "pallas_kernel"))
-def rasterize_idepth(vtx_pos, vtx_x, tris, tri_valid, *, height: int,
-                     width: int, use_pallas: bool = False,
-                     pallas_kernel: str = "v2"):
-    """Dense inverse-depth map [H, W] (NaN outside the mesh) + id buffer."""
+def rasterize_ids(vtx_pos, vtx_x, tris, tri_valid, *, height: int,
+                  width: int, use_pallas: bool = False,
+                  pallas_kernel: str = "v2"):
+    """Triangle-id buffer [H, W] + affine idepth planes [T, 3] — the
+    cheap per-frame raster products; the dense idepth evaluation is
+    deferred (idepth_from_ids / sample_idepth_at)."""
     planes, pvalid = triangle_planes(vtx_pos, vtx_x, tris, tri_valid)
     if use_pallas and pallas_kernel == "v4":
         # v4 (gather-compacted exact candidate lists; in-graph v2
@@ -147,13 +149,49 @@ def rasterize_idepth(vtx_pos, vtx_x, tris, tri_valid, *, height: int,
     else:
         idmap = rasterize_tri_ids(vtx_pos, tris, pvalid,
                                   height=height, width=width)
+    return idmap, planes
+
+
+@partial(jax.jit, static_argnames=("height", "width", "use_pallas",
+                                   "pallas_kernel"))
+def rasterize_idepth(vtx_pos, vtx_x, tris, tri_valid, *, height: int,
+                     width: int, use_pallas: bool = False,
+                     pallas_kernel: str = "v2"):
+    """Dense inverse-depth map [H, W] (NaN outside the mesh) + id buffer."""
+    idmap, planes = rasterize_ids(
+        vtx_pos, vtx_x, tris, tri_valid, height=height, width=width,
+        use_pallas=use_pallas, pallas_kernel=pallas_kernel)
+    return idepth_from_ids(idmap, planes), idmap
+
+
+@jax.jit
+def idepth_from_ids(idmap, planes):
+    """Dense idepth map [H, W] (NaN outside) from a triangle-id buffer +
+    per-triangle affine planes. The per-frame engine step stores
+    (idmap, planes) and defers this dense evaluation — a 307k-element
+    gather, ~1.9 ms/frame on v5e — to getter/eval time."""
+    height, width = idmap.shape
     covered = idmap >= 0
     g = planes[jnp.clip(idmap, 0)]
     u = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)
     v = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0)
     idepth = g[..., 0] + g[..., 1] * u + g[..., 2] * v
-    idepth = jnp.where(covered, idepth, jnp.nan)
-    return idepth, idmap
+    return jnp.where(covered, idepth, jnp.nan)
+
+
+def sample_idepth_at(idmap, planes, uv):
+    """Sparse idepth at pixel coords uv [..., 2] from (idmap, planes):
+    nearest-pixel triangle id, affine plane evaluated AT uv (exact within
+    the hit triangle — no cross-boundary interpolation artifacts).
+    Returns (xi [...], ok [...])."""
+    height, width = idmap.shape
+    ui = jnp.clip(jnp.round(uv[..., 0]).astype(jnp.int32), 0, width - 1)
+    vi = jnp.clip(jnp.round(uv[..., 1]).astype(jnp.int32), 0, height - 1)
+    ids = idmap[vi, ui]
+    ok = ids >= 0
+    g = planes[jnp.clip(ids, 0)]
+    xi = g[..., 0] + g[..., 1] * uv[..., 0] + g[..., 2] * uv[..., 1]
+    return jnp.where(ok, xi, jnp.nan), ok
 
 
 @partial(jax.jit, static_argnames=("cam",))

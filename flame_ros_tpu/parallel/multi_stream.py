@@ -77,7 +77,8 @@ def state_shardings(mesh: Mesh) -> EngineState:
         kf_q=s("stream", None, None), kf_t=s("stream", None, None),
         kf_valid=s("stream", None), kf_ids=s("stream", None),
         prev_q=s("stream", None), prev_t=s("stream", None),
-        last_idepth=s("stream", None, None),
+        last_idmap=s("stream", None, None),
+        last_planes=s("stream", None, None),
         cell_err=s("stream", None, None),
     )
 
@@ -107,7 +108,7 @@ def batched_frame_step(states: EngineState, img_pyrs, qs, ts, frame_ids,
                 cam=cam, params=params, use_truth=False)
         state, idepth, stats_vec = eng_mod._smooth_step.__wrapped__(
             state, img_pyr, q, t, counts_vec, zero_img,
-            cam=cam, params=params, has_gt=False)
+            cam=cam, params=params, has_gt=False, dense_products=True)
         return state, idepth, stats_vec[cov_idx]
 
     return jax.vmap(one)(states, img_pyrs, qs, ts, frame_ids)
@@ -149,7 +150,7 @@ def batched_full_step(states: EngineState, packed, gt_batch, *,
                 use_truth=False)
         state, idepth, stats_vec = eng_mod._smooth_step.__wrapped__(
             state, img_pyr, cur_q, cur_t, counts_vec, gt,
-            cam=cam, params=params, has_gt=has_gt)
+            cam=cam, params=params, has_gt=has_gt, dense_products=True)
         return state, (idepth, stats_vec)
 
     return jax.vmap(one)(states, packed, gt_batch)
