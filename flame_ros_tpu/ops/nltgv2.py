@@ -265,8 +265,13 @@ def pd_iterate(state: GraphState, top: GraphTopology, z, lam, vtx_valid,
             xwb = xw_new + theta * (xw_new - xw)
             return (xw_new, xwb, q)
 
+        # Unrolled sweeps (capped: tests run hundreds of iterations):
+        # each fori_loop iteration is an XLA while-loop barrier that
+        # blocks fusion across sweeps — unrolling measured 15.4 -> 14.5
+        # ms/frame on the full VGA engine chain (v5e).
         xw, xwb, q = jax.lax.fori_loop(0, num_iters, body,
-                                       (xw0, xwb0, state.q))
+                                       (xw0, xwb0, state.q),
+                                       unroll=min(num_iters, 10))
         return GraphState(x=xw[:, 0], w=xw[:, 1:], q=q,
                           x_bar=xwb[:, 0], w_bar=xwb[:, 1:])
 
