@@ -287,7 +287,8 @@ class FlameNodelet:
 
         from flame_ros_tpu.models.ba import (bundle_adjust_window,
                                              gather_ba_inputs,
-                                             match_window_points)
+                                             match_window_points,
+                                             refine_matches_2d)
 
         st = self.engine.state
         P = 256
@@ -322,6 +323,11 @@ class FlameNodelet:
             kf_pyrs_r[0], kf_q_r[0], kf_t_r[0], kf_pyrs_r, kf_q_r,
             kf_t_r, jnp.asarray(uv), jnp.asarray(d0), jnp.asarray(pv),
             cam=self.cam)
+        # Free the matches from the (possibly wrong-pose) epipolar line:
+        # 2-D LK refinement removes the line-projection bias that caps
+        # recovery of badly drifted far keyframes.
+        uv_obs, obs_ok = refine_matches_2d(
+            kf_pyrs_r[0], jnp.asarray(uv), kf_pyrs_r, uv_obs, obs_ok)
         res = bundle_adjust_window(
             kf_pyrs_r, kf_q_r, kf_t_r,
             roll(st.kf_valid), jnp.asarray(uv), jnp.asarray(d0),

@@ -109,6 +109,113 @@ def match_window_points(ref_pyr, ref_q, ref_t, kf_pyrs, kf_q, kf_t,
     return uvm.transpose(1, 0, 2), ok.T
 
 
+@partial(jax.jit, static_argnames=("iters", "start_level", "radius",
+                                   "search_radius"))
+def refine_matches_2d(ref_pyr, uv_ref, kf_pyrs, uv_obs, obs_valid, *,
+                      iters: int = 3, start_level: int = 2,
+                      radius: int = 2, search_radius: int = 3,
+                      max_shift: float = 24.0):
+    """Unconstrained 2-D refinement of per-frame pixel matches.
+
+    The epipolar matcher (`match_window_points`) constrains each match to
+    the line induced by the CURRENT pose estimates; when those poses are
+    wrong the true correspondence lies OFF that line, and the projected
+    match carries a second-order bias that caps hybrid BA's recovery of
+    badly drifted far keyframes (BENCH_NOTES round-3 roadmap item 3).
+    This pass frees the match from the line: a discrete zero-mean-SSD
+    pre-search over a (2*search_radius+1)^2 offset grid at the coarsest
+    level (basin ~search_radius * 2^start_level px — wrong-pose line bias
+    reaches 10+ px on badly drifted keyframes), then zero-mean
+    (exposure-offset invariant) inverse-compositional Lucas–Kanade on
+    pure 2-D translation over a (2r+1)^2 patch, coarse-to-fine.
+
+    ref_pyr [L,H,W]; uv_ref [P,2] template pixels in the reference frame;
+    kf_pyrs [K,L,H,W]; uv_obs [P,K,2] initial matches; obs_valid [P,K].
+    Returns (uv_refined [P,K,2], valid [P,K]) — matches that drift more
+    than max_shift px or leave the image are invalidated.
+    """
+    n_side = 2 * radius + 1
+    n = n_side * n_side
+    ar = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    base = jnp.stack(jnp.meshgrid(ar, ar, indexing="xy"),
+                     -1).reshape(n, 2)
+
+    sr = search_radius
+    asr = jnp.arange(-sr, sr + 1, dtype=jnp.float32)
+    search_grid = jnp.stack(jnp.meshgrid(asr, asr, indexing="xy"),
+                            -1).reshape((2 * sr + 1) ** 2, 2)
+
+    def refine_pt(pyr_j, uv0, uvr):
+        """One (frame, point) pair: uv0 initial match, uvr template pixel."""
+        if sr > 0:
+            # Discrete pre-search at the coarsest level: min zero-mean SSD
+            # over the offset grid (grid pitch = the level's pixel pitch).
+            l = start_level
+            lv = jnp.int32(l)
+            step = 2.0 ** l
+            offs = base * step
+            T = bilinear_pyramid(ref_pyr, uvr[None, :] + offs, lv)[0]
+            Tz = T - jnp.mean(T)
+            cand = (uv0[None, :] + search_grid * step)[:, None, :] \
+                + offs[None, :, :]                      # [S, n, 2]
+            I, iok = bilinear_pyramid(pyr_j, cand, lv)
+            Iz = I - jnp.mean(I, axis=1, keepdims=True)
+            okf = iok.all(axis=1)
+            ssd = jnp.sum((Iz - Tz[None, :]) ** 2, axis=1)
+            ssd = jnp.where(okf, ssd, jnp.inf)
+            best = jnp.argmin(ssd)
+            # Fall back to the initial match if no candidate fit.
+            uv0 = jnp.where(jnp.isfinite(ssd[best]),
+                            uv0 + search_grid[best] * step, uv0)
+
+        def level_pass(uv, l):
+            lv = jnp.int32(l)
+            step = 2.0 ** l
+            offs = base * step
+            du = jnp.array([step, 0.0])
+            dv = jnp.array([0.0, step])
+            tuv = uvr[None, :] + offs
+            T = bilinear_pyramid(ref_pyr, tuv, lv)[0]
+            gx = (bilinear_pyramid(ref_pyr, tuv + du, lv)[0]
+                  - bilinear_pyramid(ref_pyr, tuv - du, lv)[0]) / (2 * step)
+            gy = (bilinear_pyramid(ref_pyr, tuv + dv, lv)[0]
+                  - bilinear_pyramid(ref_pyr, tuv - dv, lv)[0]) / (2 * step)
+            Tz = T - jnp.mean(T)
+            J = jnp.stack([gx, gy], -1)                   # [n, 2]
+            Jz = J - jnp.mean(J, axis=0, keepdims=True)   # zero-mean proj
+            H = Jz.T @ Jz + 1e-3 * jnp.eye(2)
+
+            def it_step(_, uv):
+                I, iok = bilinear_pyramid(pyr_j, uv[None, :] + offs, lv)
+                Iz = I - jnp.mean(I)
+                r_vec = (Iz - Tz) * iok.astype(jnp.float32)
+                g = Jz.T @ r_vec
+                delta = jnp.linalg.solve(H, g)
+                # Stay within the level's basin per iteration.
+                delta = jnp.clip(delta, -radius * step, radius * step)
+                return uv - delta
+
+            return jax.lax.fori_loop(0, iters, it_step, uv)
+
+        uv = uv0
+        for l in range(start_level, -1, -1):
+            uv = level_pass(uv, l)
+        return uv
+
+    # [K, P, 2] layout for the frame-major vmap.
+    uv_kp = uv_obs.transpose(1, 0, 2)
+    ref = jax.vmap(                       # over frames
+        jax.vmap(refine_pt, in_axes=(None, 0, 0)),
+        in_axes=(0, 0, None))(kf_pyrs, uv_kp, uv_ref)
+    uv_new = ref.transpose(1, 0, 2)       # [P, K, 2]
+    L, H, W = ref_pyr.shape
+    inb = ((uv_new[..., 0] >= radius) & (uv_new[..., 0] <= W - 1 - radius)
+           & (uv_new[..., 1] >= radius) & (uv_new[..., 1] <= H - 1 - radius))
+    shift_ok = jnp.linalg.norm(uv_new - uv_obs, axis=-1) <= max_shift
+    ok = obs_valid & inb & shift_ok & jnp.isfinite(uv_new).all(-1)
+    return jnp.where(ok[..., None], uv_new, uv_obs), ok
+
+
 def _warp_uv(tau_j, d_p, uv_p, q_j, t_j, ref_q, ref_t, cam: Pinhole):
     """Project point p (ref pixel uv_p, inverse depth d_p) into frame j
     under pose perturbation tau_j. Returns (uv_j [2], in-front)."""

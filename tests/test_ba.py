@@ -175,6 +175,96 @@ def test_ba_exposure_drift(setup, rng):
     assert after[1] <= after_raw[1] + 1e-3, (after, after_raw)
 
 
+def _gt_projections(seq, q, t, uvp, gt_idepth, pv, K):
+    """GT pixel positions of the ref points in each true frame."""
+    P = uvp.shape[0]
+    X_ref = seq.cam.backproject(uvp, jnp.asarray(
+        np.maximum(gt_idepth, 1e-6).astype(np.float32)))
+    uv_gt = np.zeros((P, K, 2), np.float32)
+    gt_ok = np.zeros((P, K), bool)
+    for k in range(K):
+        Tk = SE3(q[k], t[k])
+        T0 = SE3(q[0], t[0])
+        Xk = np.asarray(Tk.inverse().apply(T0.apply(X_ref)))
+        ok = Xk[:, 2] > 1e-3
+        uv_k = np.asarray(seq.cam.project(jnp.asarray(
+            np.where(ok[:, None], Xk, [0.0, 0.0, 1.0]))))
+        inb = (ok & (uv_k[:, 0] >= 4) & (uv_k[:, 0] <= seq.cam.width - 5)
+               & (uv_k[:, 1] >= 4) & (uv_k[:, 1] <= seq.cam.height - 5))
+        uv_gt[:, k] = uv_k
+        gt_ok[:, k] = inb & np.asarray(pv)
+    return uv_gt, gt_ok
+
+
+def test_refine_matches_2d_removes_line_bias(setup):
+    """Biased initial matches (GT + a systematic few-px offset, the shape
+    of the wrong-pose epipolar-line projection error) must come back to
+    the true correspondence."""
+    from flame_ros_tpu.models.ba import refine_matches_2d
+    seq, pyrs, q, t, uvp, gt_idepth, pv, K = setup
+    uv_gt, gt_ok = _gt_projections(seq, q, t, uvp, gt_idepth, pv, K)
+    rng = np.random.default_rng(3)
+    bias = rng.normal(0, 2.5, (uv_gt.shape[0], K, 2)).astype(np.float32)
+    bias += np.array([3.0, -2.0], np.float32)  # systematic component
+    uv0 = uv_gt + bias
+    uv_ref_pyr = pyrs[0]
+    uv_new, ok = refine_matches_2d(
+        uv_ref_pyr, uvp, pyrs, jnp.asarray(uv0), jnp.asarray(gt_ok))
+    ok = np.asarray(ok) & gt_ok
+    err0 = np.linalg.norm(uv0 - uv_gt, axis=-1)[ok]
+    err1 = np.linalg.norm(np.asarray(uv_new) - uv_gt, axis=-1)[ok]
+    assert ok.sum() > 200
+    # Non-ref frames only carry signal; frame 0 is identity anyway.
+    assert np.median(err1) < 0.6, (np.median(err0), np.median(err1))
+    assert np.median(err1) < 0.25 * np.median(err0)
+
+
+def test_product_path_matches_recover_far_keyframe(setup):
+    """PRODUCT-path hybrid BA on the badly-perturbed-far-keyframe regime
+    (>= 0.05 rad+m at a ~0.4 m baseline — the recorded round-2 failure):
+    matches come from the real epipolar matcher under the WRONG poses
+    (second-order line bias), then the 2-D refinement frees them from the
+    line. Recovery must now happen without oracle matches."""
+    from flame_ros_tpu.models.ba import (match_window_points,
+                                         refine_matches_2d)
+    seq, pyrs, q, t, uvp, gt_idepth, pv, K = setup
+    rng = np.random.default_rng(11)
+    noise = np.zeros((K, 6), np.float32)
+    vec = rng.normal(0, 1, 6)
+    noise[3] = 0.055 * vec / np.linalg.norm(vec)  # |tau| = 0.055 rad+m
+    Tn = [SE3(q[k], t[k]) @ SE3.exp(jnp.asarray(noise[k]))
+          for k in range(K)]
+    qn = jnp.stack([p.q for p in Tn])
+    tn = jnp.stack([p.t for p in Tn])
+    before = _pose_errs(qn, tn, q, t, K)
+
+    # Matches searched along the WRONG epipolar lines (product path).
+    uv_obs, obs_ok = match_window_points(
+        pyrs[0], qn[0], tn[0], pyrs, qn, tn, uvp,
+        jnp.asarray(gt_idepth.astype(np.float32)), pv, cam=seq.cam)
+    uv_ref2, ok2 = refine_matches_2d(pyrs[0], uvp, pyrs, uv_obs, obs_ok)
+
+    # The refinement itself must reduce the match error vs GT.
+    uv_gt, gt_ok = _gt_projections(seq, q, t, uvp, gt_idepth, pv, K)
+    m = np.asarray(obs_ok) & np.asarray(ok2) & gt_ok
+    e_line = np.linalg.norm(np.asarray(uv_obs) - uv_gt, axis=-1)[
+        m[:, 3], 3] if m[:, 3].any() else np.array([np.inf])
+    e_line = np.linalg.norm(np.asarray(uv_obs) - uv_gt, axis=-1)[:, 3][m[:, 3]]
+    e_ref = np.linalg.norm(np.asarray(uv_ref2) - uv_gt, axis=-1)[:, 3][m[:, 3]]
+    assert m[:, 3].sum() > 50, m.sum(0)
+    assert np.median(e_ref) < np.median(e_line), (np.median(e_line),
+                                                  np.median(e_ref))
+
+    res = bundle_adjust_window(
+        pyrs, qn, tn, jnp.ones(K, bool), uvp,
+        jnp.asarray(gt_idepth.astype(np.float32)), pv,
+        cam=seq.cam, num_iters=12, level=1,
+        uv_obs=uv_ref2, obs_valid=ok2)
+    after = _pose_errs(res.q, res.t, q, t, K)
+    assert after[3] < 0.5 * before[3], (before, after)
+    assert after.max() < 0.03, after
+
+
 def test_ba_reprojection_constraints_recover_far_keyframe(setup):
     """Hybrid BA: pixel-match (reprojection) residuals are near-convex
     over pose errors that photometric-only BA cannot recover — a badly
