@@ -203,6 +203,14 @@ class EngineParams:
     # 4.1 ms vs 8.8 (v2) on v5e at VGA/2.6k tris.
     pallas_raster_kernel: str = "v4"
 
+    # NLTGV2 adjoint formulation: "matmul" runs K^T as one MXU matmul
+    # per sweep against a [V, 2E] bf16 incidence matrix (the TPU product
+    # default — the incidence gather's random HBM reads dominate the
+    # sweep cost); "gather" keeps the [V, D] incidence-gather adjoint
+    # (exact f32, the CPU default — dense [V, 2E] matmuls are slower
+    # than gathers off-TPU). None = auto by backend.
+    nltgv2_adjoint: str | None = None
+
     @property
     def max_triangles(self) -> int:
         return 2 * self.max_features
@@ -245,10 +253,18 @@ class FlameParams:
 
     def resolved(self, backend: str) -> "FlameParams":
         """Resolve auto (None) knobs for a concrete JAX backend: the
-        Pallas raster is the product default on TPU, the XLA formulation
-        elsewhere (CPU Pallas would run in interpreter mode)."""
-        if self.engine.use_pallas_raster is not None:
+        Pallas raster and the MXU NLTGV2 adjoint are the product defaults
+        on TPU, the XLA/gather formulations elsewhere (CPU Pallas would
+        run in interpreter mode; CPU dense-matmul adjoints are slower
+        than gathers)."""
+        eng = self.engine
+        updates = {}
+        if eng.use_pallas_raster is None:
+            updates["use_pallas_raster"] = backend == "tpu"
+        if eng.nltgv2_adjoint is None:
+            updates["nltgv2_adjoint"] = ("matmul" if backend == "tpu"
+                                         else "gather")
+        if not updates:
             return self
         return dataclasses.replace(
-            self, engine=dataclasses.replace(
-                self.engine, use_pallas_raster=(backend == "tpu")))
+            self, engine=dataclasses.replace(eng, **updates))

@@ -91,6 +91,16 @@ class EngineState(NamedTuple):
     # the image re-open for detection, reference features/detection/
     # min_error, cfg/flame_nodelet.yaml:70).
     cell_err: jax.Array     # [nCy, nCx] float32
+    # Frame-id watermark of the installed topology: triangles whose
+    # vertex slots were re-detected AFTER the triangulation (frame_id >
+    # watermark) or whose vertices died are stale — their corners no
+    # longer belong to the surface the triangle was built over. They are
+    # masked out of the raster until the next install (correctness: a
+    # recycled slot's new feature sits at an unrelated pixel; perf: the
+    # jumped corners create spurious long-extent triangles that blow the
+    # Pallas raster's exact-candidate budgets and trip its in-graph v2
+    # fallback, measured several ms/frame).
+    topo_frame_id: jax.Array  # [] int32
 
 
 def init_state(params: FlameParams, cam: Pinhole) -> EngineState:
@@ -135,6 +145,7 @@ def init_state(params: FlameParams, cam: Pinhole) -> EngineState:
         last_planes=jnp.zeros((params.engine.max_triangles, 3), f32),
         cell_err=jnp.zeros((H // params.features.detection.win_size,
                             W // params.features.detection.win_size), f32),
+        topo_frame_id=jnp.int32(2 ** 30),
     )
 
 
@@ -202,6 +213,17 @@ def _window_step(state: EngineState, packed, gt_batch, *, cam: Pinhole,
     outs = jax.tree.map(lambda *xs: jnp.stack(xs), *frame_outs)
     statuses, uv_matches, stats, dets = outs
     return state, statuses, uv_matches, stats, dets
+
+
+def _ring_insert(state: EngineState, img_pyr, cur_q, cur_t, frame_id,
+                 kf_slot):
+    """Write the new poseframe into the keyframe ring (slot updates of
+    the pyramid/pose/id buffers)."""
+    return (state.kf_pyrs.at[kf_slot].set(img_pyr),
+            state.kf_q.at[kf_slot].set(cur_q),
+            state.kf_t.at[kf_slot].set(cur_t),
+            state.kf_valid.at[kf_slot].set(True),
+            state.kf_ids.at[kf_slot].set(frame_id))
 
 
 def _project_graph_core(state: EngineState, cur_q, cur_t, cam: Pinhole):
@@ -301,16 +323,12 @@ def _track_step(state: EngineState, img_pyr, cur_q, cur_t, frame_id,
     # so whole multi-frame windows compile into ONE dispatch) -----------
     def _pf_branch(op):
         feat, vtx_uv, vtx_x = op
-        kf_pyrs, kf_q, kf_t = state.kf_pyrs, state.kf_q, state.kf_t
-        kf_valid, kf_ids = state.kf_valid, state.kf_ids
         # Keyframe ring insert (+ evict features of the recycled slot).
-        evict = feat.valid & (feat.kf_idx == kf_slot) & kf_valid[kf_slot]
+        evict = (feat.valid & (feat.kf_idx == kf_slot)
+                 & state.kf_valid[kf_slot])
         feat = feat._replace(valid=feat.valid & ~evict)
-        kf_pyrs = kf_pyrs.at[kf_slot].set(img_pyr)
-        kf_q = kf_q.at[kf_slot].set(cur_q)
-        kf_t = kf_t.at[kf_slot].set(cur_t)
-        kf_valid = kf_valid.at[kf_slot].set(True)
-        kf_ids = kf_ids.at[kf_slot].set(frame_id)
+        kf_pyrs, kf_q, kf_t, kf_valid, kf_ids = _ring_insert(
+            state, img_pyr, cur_q, cur_t, frame_id, kf_slot)
 
         # Detection on free grid cells. min_error redetection: an occupied
         # cell whose mesh no longer explains the image (mean abs photo
@@ -326,13 +344,14 @@ def _track_step(state: EngineState, img_pyr, cur_q, cur_t, frame_id,
             min_grad_mag=det.min_grad_mag,
             do_letterbox=params.features.do_letterbox)
 
-        # Allocation: k-th new detection -> k-th free slot.
+        # Allocation: k-th new detection -> k-th free slot. Rank matching
+        # via cumsums — no argsort (TPU sorts are cross-lane-shuffle
+        # heavy) and no materialized index vectors.
         free = ~feat.valid
-        order = jnp.argsort(feat.valid)          # free slots first (stable)
         det_rank = jnp.cumsum(dvalid.astype(jnp.int32)) - 1
+        free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
         n_free = jnp.sum(free.astype(jnp.int32))
         take = dvalid & (det_rank < n_free)
-        slot_for_det = order[jnp.clip(det_rank, 0, feat.valid.shape[0] - 1)]
         # Initial idepth: dense prediction at the pixel if available, else
         # the median of currently-converged features (reference
         # init_with_prediction semantics, cfg nltgv2/init_with_prediction).
@@ -347,27 +366,31 @@ def _track_step(state: EngineState, img_pyr, cur_q, cur_t, frame_id,
         var0 = jnp.where(use_pred, eng.init_idepth_var * 0.5,
                          eng.init_idepth_var)
 
-        N = feat.valid.shape[0]
-        # Out-of-bounds sentinel + mode="drop": untaken detections scatter
-        # nowhere (clipping would corrupt slot N-1 with unspecified order).
-        tgt = jnp.where(take, slot_for_det, N)
-
-        def scat(arr, vals):
-            return arr.at[tgt].set(vals, mode="drop")
+        # Slot assignment WITHOUT scatters or sorts: slot n receives
+        # detection d iff both have the same rank (n-th free slot, d-th
+        # valid detection) — a one-hot [N, n_cells] rank-match product
+        # recovers per-slot values exactly (each row has at most one hit).
+        # TPU scatters with runtime indices serialize; this fuses into
+        # one MXU op.
+        oh = (free[:, None] & take[None, :]
+              & (free_rank[:, None] == det_rank[None, :]))
+        hit = jnp.any(oh, axis=1)                      # [N]
+        vals = jnp.stack([duv[:, 0], duv[:, 1], mu0, var0], -1)
+        got = jnp.dot(oh.astype(jnp.float32), vals,
+                      preferred_element_type=jnp.float32)  # [N, 4]
         feat = feat._replace(
-            uv_ref=scat(feat.uv_ref, duv),
-            kf_idx=scat(feat.kf_idx, jnp.full_like(det_rank, kf_slot)),
-            mu=scat(feat.mu, mu0),
-            var=scat(feat.var, var0),
-            dropouts=scat(feat.dropouts, jnp.zeros_like(det_rank)),
-            valid=scat(feat.valid, jnp.ones_like(take)),
-            frame_id=scat(feat.frame_id,
-                          jnp.full_like(det_rank, frame_id)),
+            uv_ref=jnp.where(hit[:, None], got[:, :2], feat.uv_ref),
+            kf_idx=jnp.where(hit, kf_slot, feat.kf_idx),
+            mu=jnp.where(hit, got[:, 2], feat.mu),
+            var=jnp.where(hit, got[:, 3], feat.var),
+            dropouts=jnp.where(hit, 0, feat.dropouts),
+            valid=feat.valid | hit,
+            frame_id=jnp.where(hit, frame_id, feat.frame_id),
         )
         n_det = jnp.sum(take.astype(jnp.int32))
         # New features appear at their own pixel with their init idepth.
-        vtx_uv = scat(vtx_uv, duv)
-        vtx_x = scat(vtx_x, mu0)
+        vtx_uv = jnp.where(hit[:, None], got[:, :2], vtx_uv)
+        vtx_x = jnp.where(hit, got[:, 2], vtx_x)
         # (vtx_w rows for new slots are stale; the regularizer re-estimates
         # them within a few sweeps.)
         uv2, z2, inb2 = ep_ops.project_features(
@@ -464,9 +487,21 @@ def _smooth_step(state: EngineState, img_pyr, cur_q, cur_t, track_counts,
     eng = params.engine
 
     vtx_x, vtx_w, edge_q = state.vtx_x, state.vtx_w, state.edge_q
+    # Stale-topology gate (see EngineState.topo_frame_id): a slot
+    # re-detected AFTER the topology install is a different feature at an
+    # unrelated pixel — triangles/edges referencing it are masked until
+    # the next install. Dead-but-unrecycled slots keep rendering (their
+    # projected ghost geometry is the established FLaME stale-mesh
+    # behavior); only identity changes are poisonous, both for geometry
+    # and for the Pallas raster's candidate budgets (a jumped corner
+    # creates spurious long-extent triangles that trip the in-graph v2
+    # fallback, costing several ms/frame).
+    v_same = state.feat.frame_id <= state.topo_frame_id
+    tri_fresh = state.tri_valid & v_same[state.tris].all(-1)
+    edge_fresh = state.edge_valid & v_same[state.edges].all(-1)
     costs = {}
     if reg.do_nltgv2:
-        top = reg_ops.build_topology(state.edges, state.edge_valid,
+        top = reg_ops.build_topology(state.edges, edge_fresh,
                                      state.vtx_uv,
                                      inc_edges=state.inc_edges,
                                      inc_sign=state.inc_sign)
@@ -477,8 +512,14 @@ def _smooth_step(state: EngineState, img_pyr, cur_q, cur_t, track_counts,
             rescale=nl.rescale_data)
         gs = reg_ops.GraphState(x=vtx_x, w=vtx_w, q=edge_q,
                                 x_bar=vtx_x, w_bar=vtx_w)
+        # MXU adjoint (TPU default): K^T as one matmul per sweep against
+        # the incidence matrix. Built per frame from the (window-constant)
+        # edge set — XLA CSEs the identical builds across a window.
+        gcat = (reg_ops.build_gcat(state.edges, edge_fresh,
+                                   state.vtx_x.shape[0])
+                if eng.nltgv2_adjoint == "matmul" else None)
         gs = reg_ops.pd_iterate(
-            gs, top, state.vtx_z, lam, state.vtx_in_graph,
+            gs, top, state.vtx_z, lam, state.vtx_in_graph, gcat,
             num_iters=eng.pd_iters_per_frame,
             step_x=nl.step_x, step_q=nl.step_q, theta=nl.theta)
         costs = reg_ops.nltgv2_costs(gs, top, state.vtx_z, lam,
@@ -492,7 +533,7 @@ def _smooth_step(state: EngineState, img_pyr, cur_q, cur_t, track_counts,
                                      state.inc_sign, state.edges,
                                      state.vtx_in_graph)
     if reg.do_lowpass_filter:
-        vtx_x = reg_ops.graph_lowpass(vtx_x, state.edges, state.edge_valid,
+        vtx_x = reg_ops.graph_lowpass(vtx_x, state.edges, edge_fresh,
                                       state.vtx_in_graph)
 
     if nl.check_sticky_obstacles:
@@ -514,7 +555,7 @@ def _smooth_step(state: EngineState, img_pyr, cur_q, cur_t, track_counts,
     # eval time unless this step itself consumes it (GT confusion, or a
     # caller that wants the dense map returned).
     idmap, planes = raster_ops.rasterize_ids(
-        state.vtx_uv, vtx_x, state.tris, state.tri_valid,
+        state.vtx_uv, vtx_x, state.tris, tri_fresh,
         height=cam.height, width=cam.width,
         use_pallas=eng.use_pallas_raster,
         pallas_kernel=eng.pallas_raster_kernel)
@@ -685,7 +726,8 @@ def _frame_input_ok(pose: SE3, gray: np.ndarray) -> bool:
 def _unpack_topology(buf, *, T: int, E: int, N: int, D: int):
     """Split one packed int32 topology upload into its arrays on device
     (one H2D instead of six — link latency dominates per-transfer cost on
-    tunneled backends)."""
+    tunneled backends). The trailing element is the frame-id watermark of
+    the vertex state the triangulation was built from."""
     o = 0
     tris = buf[o:o + 3 * T].reshape(T, 3)
     o += 3 * T
@@ -698,7 +740,9 @@ def _unpack_topology(buf, *, T: int, E: int, N: int, D: int):
     inc_e = buf[o:o + N * D].reshape(N, D)
     o += N * D
     inc_s = buf[o:o + N * D].reshape(N, D).astype(jnp.float32)
-    return tris, tv, edges, ev, inc_e, inc_s
+    o += N * D
+    watermark = buf[o]
+    return tris, tv, edges, ev, inc_e, inc_s, watermark
 
 
 class Flame:
@@ -723,6 +767,9 @@ class Flame:
         self._num_poseframes = 0
         self._frame_count = 0
         self._kf_slot = 0
+        # Max frame id dispatched so far — the watermark recorded with
+        # each triangulation (EngineState.topo_frame_id).
+        self._max_frame_id = 0
         # Device handles of the most recent frame's products — pulled to
         # host lazily (D2H over a tunneled link is the bottleneck, not
         # compute; see DEVICE_STATS_KEYS).
@@ -797,12 +844,12 @@ class Flame:
 
             if not use_truth and img_pyr is None:
                 # Single-frame window: one packed H2D, one dispatch.
-                [(packed, seg_gt, first_is_pf, any_pf, B)] = \
+                [(packed, seg_gt, first_is_pf, any_pf, B, mid)] = \
                     self._pack_segments(
                         [(time, img_id, pose, img_gray, is_pf)],
                         gt[None] if has_gt else None)
                 self._dispatch_packed(jax.device_put(packed), seg_gt,
-                                      first_is_pf, any_pf, B)
+                                      first_is_pf, any_pf, B, mid)
             else:
                 with s.scope("frame_creation"):
                     if img_pyr is not None:
@@ -813,6 +860,7 @@ class Flame:
                                 jnp.float32), NUM_LEVELS)
                 cur_q = jnp.asarray(pose.q, jnp.float32)
                 cur_t = jnp.asarray(pose.t, jnp.float32)
+                self._max_frame_id = max(self._max_frame_id, int(img_id))
                 truth = (jnp.asarray(idepths_truth, jnp.float32)
                          if use_truth else _ZERO_IMG(self.cam))
                 kf_slot = self._kf_slot
@@ -921,10 +969,10 @@ class Flame:
                         "prefetched windows must be consumed in issue "
                         "order, with no other updates interleaved")
                 self._prefetch_issued.popleft()
-                for fut, gfut, first_is_pf, any_pf, B in prefetched:
+                for fut, gfut, first_is_pf, any_pf, B, mid in prefetched:
                     self._dispatch_packed(fut.result(),
                                           gfut.result() if gfut else None,
-                                          first_is_pf, any_pf, B)
+                                          first_is_pf, any_pf, B, mid)
                 return True
             if self._prefetch_issued:
                 raise RuntimeError(
@@ -932,12 +980,12 @@ class Flame:
             frames = self._force_first_poseframe(list(frames))
             gt_np = (np.asarray(gt_depths, np.float32)
                      if gt_depths is not None else None)
-            for packed, seg_gt, first_is_pf, any_pf, B in \
+            for packed, seg_gt, first_is_pf, any_pf, B, mid in \
                     self._pack_segments(frames, gt_np):
                 self._dispatch_packed(
                     jax.device_put(packed),
                     jax.device_put(seg_gt) if seg_gt is not None else None,
-                    first_is_pf, any_pf, B)
+                    first_is_pf, any_pf, B, mid)
             self._maybe_profile_stages(frames[-1][2], frames[-1][3],
                                        n_frames=len(frames))
             return True
@@ -972,12 +1020,12 @@ class Flame:
         gt_np = (np.asarray(gt_depths, np.float32)
                  if gt_depths is not None else None)
         handle = []
-        for packed, seg_gt, first_is_pf, any_pf, B in \
+        for packed, seg_gt, first_is_pf, any_pf, B, mid in \
                 self._pack_segments(frames, gt_np):
             fut = self._h2d_pool.submit(jax.device_put, packed)
             gfut = (self._h2d_pool.submit(jax.device_put, seg_gt)
                     if seg_gt is not None else None)
-            handle.append((fut, gfut, first_is_pf, any_pf, B))
+            handle.append((fut, gfut, first_is_pf, any_pf, B, mid))
         self._prefetch_issued.append(handle)
         return handle
 
@@ -1014,7 +1062,7 @@ class Flame:
         poseframe/keyframe-slot bookkeeping. Host-only; no device calls.
 
         Returns [(packed [B, H*W+meta] u8, gt [B,H,W] f32 | None,
-                  first_is_pf, any_pf, B)].
+                  first_is_pf, any_pf, B, seg_max_id)].
         """
         H, W = self.cam.height, self.cam.width
         cuts = ([0] + [b for b in range(1, len(frames)) if frames[b][4]]
@@ -1025,7 +1073,9 @@ class Flame:
             B = len(seg)
             packed = np.empty((B, H * W + META_LEN * 4), np.uint8)
             any_pf = False
+            seg_max_id = 0
             for b, (time, img_id, pose, gray, is_pf) in enumerate(seg):
+                seg_max_id = max(seg_max_id, int(img_id))
                 if is_pf:
                     any_pf = True
                     kf_slot = self._kf_slot
@@ -1042,12 +1092,18 @@ class Flame:
                     np.asarray(pose.q), np.asarray(pose.t), img_id, is_pf,
                     kf_slot)
             seg_gt = gt_batch[s0:s1] if gt_batch is not None else None
-            segs.append((packed, seg_gt, bool(seg[0][4]), any_pf, B))
+            segs.append((packed, seg_gt, bool(seg[0][4]), any_pf, B,
+                         seg_max_id))
         return segs
 
-    def _dispatch_packed(self, packed_dev, gt_dev, first_is_pf, any_pf, B):
+    def _dispatch_packed(self, packed_dev, gt_dev, first_is_pf, any_pf, B,
+                         seg_max_id: int = 0):
         """Dispatch one packed (already on-device) segment, then
         retriangulate if it contained a poseframe."""
+        # Watermark advances at DISPATCH time (prefetched windows pack
+        # early; the triangulation watermark must reflect what actually
+        # ran).
+        self._max_frame_id = max(self._max_frame_id, seg_max_id)
         self._apply_pending_triangulation(block=False)
         has_gt = gt_dev is not None
         if gt_dev is None:
@@ -1107,7 +1163,7 @@ class Flame:
             [self.state.vtx_uv.reshape(-1),
              self.state.vtx_in_graph.astype(jnp.float32)]))
         uv = buf[:2 * N].reshape(N, 2)
-        self._apply_topology(uv, buf[2 * N:] > 0.5)
+        self._apply_topology(uv, buf[2 * N:] > 0.5, self._max_frame_id)
 
     def _schedule_triangulation(self):
         """Deferred mode: run the WHOLE triangulation round-trip — async
@@ -1147,18 +1203,22 @@ class Flame:
             self._tri_pool = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="flame-tri")
 
+        wm = self._max_frame_id
+
         def job():
             buf = np.asarray(buf_h)
             return jax.device_put(self._build_topology_host(
-                buf[:2 * N].reshape(N, 2), buf[2 * N:] > 0.5))
+                buf[:2 * N].reshape(N, 2), buf[2 * N:] > 0.5, wm))
 
         self._pending_tri.append(self._tri_pool.submit(job))
 
-    def _build_topology_host(self, uv: np.ndarray, eligible: np.ndarray):
+    def _build_topology_host(self, uv: np.ndarray, eligible: np.ndarray,
+                             watermark: int = 2 ** 30):
         """Delaunay + incidence lists on host, packed into ONE int32
         buffer for a single H2D (six separate uploads cost six link
         round-trips on a tunneled backend). Pure host function — safe on
-        the worker thread."""
+        the worker thread. `watermark`: max frame id of the vertex state
+        this triangulation was built from (EngineState.topo_frame_id)."""
         idx = np.flatnonzero(eligible)
         N = self.params.engine.max_features
         E = self.params.engine.max_edges
@@ -1190,26 +1250,36 @@ class Flame:
         return np.concatenate([
             tris_pad.ravel(), tv.astype(np.int32),
             edges_pad.ravel(), ev.astype(np.int32),
-            inc_e.ravel(), inc_s.astype(np.int32).ravel()])
+            inc_e.ravel(), inc_s.astype(np.int32).ravel(),
+            np.asarray([watermark], np.int32)])
 
     def _install_topology(self, buf_dev):
         """Unpack a packed topology upload on device and swap it into the
         engine state (duals reset: the dual space changes with the edge
         set)."""
         e = self.params.engine
-        tris, tv, edges, ev, inc_e, inc_s = _unpack_topology(
+        tris, tv, edges, ev, inc_e, inc_s, wm = _unpack_topology(
             buf_dev, T=e.max_triangles, E=e.max_edges,
             N=e.max_features, D=e.max_vertex_degree)
         self.state = self.state._replace(
             tris=tris, tri_valid=tv, edges=edges, edge_valid=ev,
-            inc_edges=inc_e, inc_sign=inc_s,
+            inc_edges=inc_e, inc_sign=inc_s, topo_frame_id=wm,
             edge_q=jnp.zeros_like(self.state.edge_q))
 
-    def _apply_topology(self, uv: np.ndarray, eligible: np.ndarray):
+    def _apply_topology(self, uv: np.ndarray, eligible: np.ndarray,
+                        watermark: int = 2 ** 30):
         self._install_topology(jax.device_put(
-            self._build_topology_host(uv, eligible)))
+            self._build_topology_host(uv, eligible, watermark)))
 
     # -- getters (reference flame::Flame surface) ------------------------
+    def _tri_fresh(self):
+        """Device-side stale-topology gate for published products (same
+        rule as the per-frame raster: mask triangles whose vertex slots
+        were re-detected after the installed triangulation)."""
+        st = self.state
+        v_same = st.feat.frame_id <= st.topo_frame_id
+        return st.tri_valid & v_same[st.tris].all(-1)
+
     def get_inverse_depth_mesh(self):
         """(vertices_px [V,2], idepths [V], normals [V,3], triangles
         [M,3], tri_validity [M], edges [E,2]) — compacted to live
@@ -1222,12 +1292,13 @@ class Flame:
         x = np.asarray(st.vtx_x)
         normals = np.asarray(raster_ops.vertex_normals(
             st.vtx_uv, st.vtx_x, st.vtx_w, self.cam))
-        tv = np.asarray(st.tri_valid)
+        tvd = self._tri_fresh()
+        tv = np.asarray(tvd)
         tris = np.asarray(st.tris)[tv]
         ev = np.asarray(st.edge_valid)
         edges = np.asarray(st.edges)[ev]
         keep = np.asarray(raster_ops.mesh_display_filters(
-            st.vtx_uv, st.vtx_x, st.vtx_w, st.tris, st.tri_valid, self.cam,
+            st.vtx_uv, st.vtx_x, st.vtx_w, st.tris, tvd, self.cam,
             filter_oblique=self.params.output.filter_oblique_triangles,
             oblique_normal_thresh=self.params.output.oblique_normal_thresh,
             oblique_idepth_diff_factor=self.params.output.oblique_idepth_diff_factor,
@@ -1240,11 +1311,18 @@ class Flame:
         return uv, x, normals, tris, keep, edges
 
     def get_inverse_depth_map(self) -> np.ndarray:
-        """Raw dense idepth map (NaN where uncovered). Pulled from device
-        on demand and cached per frame."""
+        """Raw dense idepth map (NaN where uncovered). Rasterized from the
+        CURRENT engine state (same snapshot semantics as the filtered/mesh
+        getters — the per-frame in-dispatch raster may predate a topology
+        install), pulled on demand and cached per frame."""
         if self._host_idepth_frame != self._frame_count:
-            self._host_idepth = np.asarray(raster_ops.idepth_from_ids(
-                self.state.last_idmap, self.state.last_planes))
+            st = self.state
+            m, _ = raster_ops.rasterize_idepth(
+                st.vtx_uv, st.vtx_x, st.tris, self._tri_fresh(),
+                height=self.cam.height, width=self.cam.width,
+                use_pallas=self.params.engine.use_pallas_raster,
+                pallas_kernel=self.params.engine.pallas_raster_kernel)
+            self._host_idepth = np.asarray(m)
             self._host_idepth_frame = self._frame_count
         return self._host_idepth
 
@@ -1259,8 +1337,9 @@ class Flame:
     def get_filtered_inverse_depth_map(self) -> np.ndarray:
         """Dense idepth map with display filters applied to triangles."""
         st = self.state
+        tv = self._tri_fresh()
         keep = raster_ops.mesh_display_filters(
-            st.vtx_uv, st.vtx_x, st.vtx_w, st.tris, st.tri_valid, self.cam,
+            st.vtx_uv, st.vtx_x, st.vtx_w, st.tris, tv, self.cam,
             filter_oblique=self.params.output.filter_oblique_triangles,
             filter_long_edges=self.params.output.filter_long_edges,
             filter_by_idepth=self.params.output.filter_triangles_by_idepth,
@@ -1268,15 +1347,17 @@ class Flame:
             min_triangle_idepth=self.params.output.min_triangle_idepth,
         )
         m, _ = raster_ops.rasterize_idepth(
-            st.vtx_uv, st.vtx_x, st.tris, st.tri_valid & keep,
-            height=self.cam.height, width=self.cam.width)
+            st.vtx_uv, st.vtx_x, st.tris, tv & keep,
+            height=self.cam.height, width=self.cam.width,
+            use_pallas=self.params.engine.use_pallas_raster,
+            pallas_kernel=self.params.engine.pallas_raster_kernel)
         return np.asarray(m)
 
     def get_normal_map(self) -> np.ndarray:
         """Dense per-pixel surface normals (NaN outside; debug/normals)."""
         st = self.state
         return np.asarray(raster_ops.rasterize_normal_map(
-            st.vtx_uv, st.vtx_x, st.tris, st.tri_valid, self.cam))
+            st.vtx_uv, st.vtx_x, st.tris, self._tri_fresh(), self.cam))
 
     def get_detections(self):
         """Last poseframe's detections: (uv [C,2], taken [C]) or None."""

@@ -86,5 +86,14 @@ def occupancy_from_features(feat_uv, feat_valid, height: int, width: int,
     nCy, nCx = cell_grid_shape(height, width, win_size)
     cx = jnp.clip((feat_uv[:, 0] // win_size).astype(jnp.int32), 0, nCx - 1)
     cy = jnp.clip((feat_uv[:, 1] // win_size).astype(jnp.int32), 0, nCy - 1)
-    occ = jnp.zeros((nCy, nCx), jnp.bool_)
-    return occ.at[cy, cx].max(feat_valid)
+    # One-hot matmul instead of a scatter-max: TPU scatters with runtime
+    # indices serialize (~µs per element — the 2048-lane scatter measured
+    # ~6 ms inside the poseframe dispatch), while the one-hot product
+    # fuses into a single MXU op.
+    cell = cy * nCx + cx
+    C = nCy * nCx
+    oh = (cell[None, :] == jnp.arange(C, dtype=jnp.int32)[:, None])
+    cnt = jnp.dot(oh.astype(jnp.bfloat16),
+                  feat_valid.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+    return (cnt > 0).reshape(nCy, nCx)

@@ -106,6 +106,26 @@ def build_topology(edges, edge_valid, vtx_pos, inc_edges=None,
                          inc_sign=inc_sign)
 
 
+def build_gcat(edges, edge_valid, num_vertices: int):
+    """Signed-incidence gather matrix for the MXU adjoint: [V, 2E] bf16
+    with G[v, e] = 1 where v is edge e's tail and G[v, E+e] = 1 where v is
+    its head (invalid edges zero). The 0/1 entries are EXACT in bf16.
+
+    With it, K^T q becomes ONE [V, 2E] @ [2E, 3] matmul over per-edge
+    tail/head contribution vectors — on TPU this replaces the [V, D, 3]
+    incidence gather, whose random HBM reads dominate the sweep cost
+    (measured 3.5 -> 1.6 ms for 10 sweeps at V=2048/E=6144 on v5e).
+    Built by two scatters (a broadcast-compare build costs ~57 ms on
+    device); runs inside the per-frame dispatch where XLA CSEs the
+    identical builds across a window's frames."""
+    E = edges.shape[0]
+    evf = edge_valid.astype(jnp.bfloat16)
+    g = jnp.zeros((num_vertices, 2 * E), jnp.bfloat16)
+    g = g.at[edges[:, 0], jnp.arange(E)].set(evf)
+    g = g.at[edges[:, 1], E + jnp.arange(E)].set(evf)
+    return g
+
+
 def init_graph_state(x0, w0=None, q0=None):
     V = x0.shape[0]
     w = jnp.zeros((V, 2), x0.dtype) if w0 is None else w0
@@ -192,7 +212,7 @@ def _precond_steps(top: GraphTopology, num_vertices: int):
 
 @partial(jax.jit, static_argnames=("num_iters", "precondition"))
 def pd_iterate(state: GraphState, top: GraphTopology, z, lam, vtx_valid,
-               *, num_iters: int = 10, step_x: float = 0.001,
+               gcat=None, *, num_iters: int = 10, step_x: float = 0.001,
                step_q: float = 125.0, theta: float = 1.0,
                precondition: bool = True):
     """Run `num_iters` primal-dual sweeps.
@@ -200,7 +220,12 @@ def pd_iterate(state: GraphState, top: GraphTopology, z, lam, vtx_valid,
     z: [V] measured inverse depths (data term anchors);
     lam: [V] per-vertex data weights (lambda_i, already includes
     data_factor and any adaptive/rescale handling);
-    vtx_valid: [V] bool — frozen vertices pass through unchanged.
+    vtx_valid: [V] bool — frozen vertices pass through unchanged;
+    gcat: optional [V, 2E] bf16 incidence matrix (see build_gcat) — when
+    given, the adjoint K^T runs as one MXU matmul per sweep instead of
+    the incidence gather (the TPU product path; edge contributions round
+    to bf16, a ~4e-4 absolute perturbation of the converged primal,
+    measured well under the filter/measurement noise floor).
     """
     V = state.x.shape[0]
     if precondition:
@@ -248,15 +273,27 @@ def pd_iterate(state: GraphState, top: GraphTopology, z, lam, vtx_valid,
             kw = top.beta[:, None] * (pi[:, 1:] - pj[:, 1:])
             Kx = jnp.concatenate([k1[:, None], kw], -1)
             q = jnp.clip(q + sigma * Kx, -1.0, 1.0) * ev
-            # Adjoint via one packed vertex gather.
-            P = jnp.concatenate([(top.alpha * q[:, 0])[:, None],
-                                 top.beta[:, None] * q[:, 1:]], -1)
-            Pv = P[e]                        # [V, D, 3]
-            gx = jnp.sum(live * sgn * Pv[..., 0], -1)
-            gw = jnp.sum(
-                tail[..., None] * (-Pv[..., 0:1] * dp_inc + Pv[..., 1:])
-                - ((live - tail)[..., None]) * Pv[..., 1:], axis=1)
-            g = jnp.concatenate([gx[:, None], gw], -1)
+            if gcat is not None:
+                # Adjoint as ONE MXU matmul over stacked tail/head
+                # contributions (f32 accumulate).
+                a_q1 = top.alpha * q[:, 0]
+                bq = top.beta[:, None] * q[:, 1:]
+                t_tail = jnp.concatenate(
+                    [a_q1[:, None], -a_q1[:, None] * top.dp + bq], -1)
+                t_head = jnp.concatenate([-a_q1[:, None], -bq], -1)
+                tcat = jnp.concatenate([t_tail, t_head], 0)  # [2E, 3]
+                g = jnp.dot(gcat, tcat.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+            else:
+                # Adjoint via one packed vertex gather.
+                P = jnp.concatenate([(top.alpha * q[:, 0])[:, None],
+                                     top.beta[:, None] * q[:, 1:]], -1)
+                Pv = P[e]                        # [V, D, 3]
+                gx = jnp.sum(live * sgn * Pv[..., 0], -1)
+                gw = jnp.sum(
+                    tail[..., None] * (-Pv[..., 0:1] * dp_inc + Pv[..., 1:])
+                    - ((live - tail)[..., None]) * Pv[..., 1:], axis=1)
+                g = jnp.concatenate([gx[:, None], gw], -1)
             xw_desc = xw - tau_xw * g
             r = xw_desc[:, 0] - z
             x_new = z + jnp.sign(r) * jnp.maximum(jnp.abs(r) - thr, 0.0)

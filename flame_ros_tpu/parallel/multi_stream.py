@@ -80,6 +80,7 @@ def state_shardings(mesh: Mesh) -> EngineState:
         last_idmap=s("stream", None, None),
         last_planes=s("stream", None, None),
         cell_err=s("stream", None, None),
+        topo_frame_id=repl,
     )
 
 
@@ -162,11 +163,11 @@ def _batched_install(states: EngineState, bufs, *, T: int, E: int,
     """Install one packed topology upload per stream (vmapped unpack +
     dual reset)."""
     def one(state, buf):
-        tris, tv, edges, ev, inc_e, inc_s = \
+        tris, tv, edges, ev, inc_e, inc_s, wm = \
             eng_mod._unpack_topology.__wrapped__(buf, T=T, E=E, N=N, D=D)
         return state._replace(
             tris=tris, tri_valid=tv, edges=edges, edge_valid=ev,
-            inc_edges=inc_e, inc_sign=inc_s,
+            inc_edges=inc_e, inc_sign=inc_s, topo_frame_id=wm,
             edge_q=jnp.zeros_like(state.edge_q))
 
     return jax.vmap(one)(states, bufs)
@@ -213,6 +214,7 @@ class MultiStreamRunner:
         self._num_poseframes = 0
         self._kf_slot = 0
         self._frame_count = 0
+        self._max_frame_id = 0  # topology watermark (engine semantics)
         self._tri_pool = None
         self.last_stats = None   # [S, len(DEVICE_STATS_KEYS)] device
         self.last_idepth = None  # [S, H, W] device
@@ -239,6 +241,7 @@ class MultiStreamRunner:
         H, W = self.cam.height, self.cam.width
         packed = np.empty((self.S, H * W + eng_mod.META_LEN * 4), np.uint8)
         for s, (time, img_id, pose, gray) in enumerate(frames):
+            self._max_frame_id = max(self._max_frame_id, int(img_id))
             g = np.asarray(gray)
             packed[s, :H * W] = (
                 g.ravel() if g.dtype == np.uint8
@@ -305,8 +308,9 @@ class MultiStreamRunner:
         elig = buf[:, 2 * N:] > 0.5
         self._ensure_pool()
         builder = _HostTopologyBuilder(self.params)
+        wm = self._max_frame_id
         topos = list(self._tri_pool.map(
-            lambda s: builder.build(uv[s], elig[s]), range(self.S)))
+            lambda s: builder.build(uv[s], elig[s], wm), range(self.S)))
         return np.stack(topos)
 
     def _install_topologies(self, bufs: np.ndarray):
@@ -350,7 +354,8 @@ class _HostTopologyBuilder:
     def __init__(self, params: FlameParams):
         self.params = params
 
-    def build(self, uv: np.ndarray, eligible: np.ndarray) -> np.ndarray:
+    def build(self, uv: np.ndarray, eligible: np.ndarray,
+              watermark: int = 2 ** 30) -> np.ndarray:
         from flame_ros_tpu.graph.delaunay import (triangulate,
                                                   edges_from_triangles)
         from flame_ros_tpu.ops import nltgv2 as reg_ops
@@ -379,4 +384,5 @@ class _HostTopologyBuilder:
         return np.concatenate([
             tris_pad.ravel(), tv.astype(np.int32),
             edges_pad.ravel(), ev.astype(np.int32),
-            inc_e.ravel(), inc_s.astype(np.int32).ravel()])
+            inc_e.ravel(), inc_s.astype(np.int32).ravel(),
+            np.asarray([watermark], np.int32)])

@@ -12,6 +12,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -206,7 +207,7 @@ def main():
         frames = [(seq.timestamps[i], 200 + i,
                    SE3(seq.poses.q[i], seq.poses.t[i]), imgs[i], False)
                   for i in range(6)]
-        packed, _, _, _, B = engine._pack_segments(frames, None)[0]
+        packed, _, _, _, B, _ = engine._pack_segments(frames, None)[0]
         # H2D upload cost of one packed window.
         t0 = time.perf_counter()
         for _ in range(3):
@@ -227,7 +228,7 @@ def main():
         # ring insert + slot allocation unrolled for frame 0) — the
         # product steady state at pf_subsample = window size.
         frames_pf = [frames[0][:4] + (True,)] + frames[1:]
-        packed_pf, _, _, _, _ = engine._pack_segments(frames_pf, None)[0]
+        packed_pf, _, _, _, _, _ = engine._pack_segments(frames_pf, None)[0]
         packed_pf_dev = jax.device_put(packed_pf)
         ms = _time_op(
             lambda: _window_step(stt, packed_pf_dev, gt_dev, cam=VGA,
@@ -270,7 +271,7 @@ def main():
                            seq.poses.t[(24 + k + j) % n_seq]),
                        imgs[(24 + k + j) % n_seq], j == 0)
                       for j in range(6)]
-            packed, _, _, _, _ = engine._pack_segments(frames, None)[0]
+            packed, _, _, _, _, _ = engine._pack_segments(frames, None)[0]
             d = jax.device_put(packed)
             np.asarray(jnp.ravel(d)[:1])  # force the upload to land
             bufs.append(d)
@@ -306,7 +307,7 @@ def main():
                            seq.poses.t[(24 + k + j) % n_seq]),
                        imgs[(24 + k + j) % n_seq], j == 0)
                       for j in range(6)]
-            packed, _, _, _, _ = engine._pack_segments(frames, None)[0]
+            packed, _, _, _, _, _ = engine._pack_segments(frames, None)[0]
             d = jax.device_put(packed)
             np.asarray(jnp.ravel(d)[:1])
             bufs.append(d)
@@ -383,6 +384,340 @@ def main():
             emit(f"mstream{S}_dispatch_only", ms,
                  per_frame=round(ms / S, 2),
                  agg_fps=round(S / (ms / 1e3), 1))
+
+    # --- micro: monkeypatch ablations of the carried chain --------------
+    # Attributes the residual "misc" budget (pyramid build, projections,
+    # epipolar, raster, costs telemetry) by stubbing one component at a
+    # time and re-jitting the raw window step (fresh jax.jit per variant so
+    # the patched module globals are picked up at trace time).
+    if only is not None and "micro" in only:
+        from flame_ros_tpu.models import engine as EM
+        from flame_ros_tpu.ops import epipolar as EP
+        from flame_ros_tpu.ops import raster as RO
+        from flame_ros_tpu.ops import nltgv2 as RG
+        import dataclasses as _dc
+        H, W = VGA.height, VGA.width
+        n_win = 8
+        bufs = []
+        for k in range(n_win):
+            frames = [(seq.timestamps[(24 + k + j) % n_seq] + k,
+                       900 + k * 6 + j,
+                       SE3(seq.poses.q[(24 + k + j) % n_seq],
+                           seq.poses.t[(24 + k + j) % n_seq]),
+                       imgs[(24 + k + j) % n_seq], j == 0)
+                      for j in range(6)]
+            packed, _, _, _, _, _ = engine._pack_segments(frames, None)[0]
+            d = jax.device_put(packed)
+            np.asarray(jnp.ravel(d)[:1])
+            bufs.append(d)
+        gt_dev = jnp.zeros((6, H, W), jnp.float32)
+        p0 = engine.params
+        T = p0.engine.max_triangles
+        N = p0.engine.max_features
+
+        def run(name, pvar=p0, patches=(), first_is_pf=True):
+            saved = [(m, a, getattr(m, a)) for m, a, _ in patches]
+            for m, a, v in patches:
+                setattr(m, a, v)
+            try:
+                # A FRESH function identity per variant: pjit caches
+                # globally on the underlying callable, so re-jitting the
+                # same raw function would silently reuse the unpatched
+                # compile.
+                def raw(state, packed, gt, *, cam, params, has_gt,
+                        first_is_pf):
+                    return EM._window_step.__wrapped__(
+                        state, packed, gt, cam=cam, params=params,
+                        has_gt=has_gt, first_is_pf=first_is_pf)
+                step = jax.jit(
+                    raw,
+                    static_argnames=("cam", "params", "has_gt",
+                                     "first_is_pf"))
+
+                def chain(st):
+                    for k in range(n_win):
+                        st, *_ = step(st, bufs[k], gt_dev, cam=VGA,
+                                      params=pvar, has_gt=False,
+                                      first_is_pf=first_is_pf)
+                    _force(st.vtx_x)
+                    return st
+                st = chain(engine.state)  # compile + warm
+                t0 = time.perf_counter()
+                chain(st)
+                dt = time.perf_counter() - t0
+                emit(f"micro_{name}", dt / n_win * 1e3,
+                     per_frame=round(dt / (n_win * 6) * 1e3, 2))
+            except Exception as e:
+                emit(f"micro_{name}", -1.0, error=str(e)[:200])
+            finally:
+                for m, a, old in saved:
+                    setattr(m, a, old)
+
+        def fake_pyr(img, num_levels=3):
+            return jnp.broadcast_to(img[None], (num_levels,) + img.shape)
+
+        def fake_proj(state, kf_q, kf_t, cur_q, cur_t, cam):
+            return (state.uv_ref, state.mu,
+                    jnp.ones_like(state.mu, dtype=bool))
+
+        def fake_epi(state, kf_pyrs, kf_q, kf_t, img_pyr, cur_q, cur_t,
+                     **kw):
+            z32 = jnp.zeros_like(state.kf_idx)
+            return EP.EpipolarResult(
+                state=state, status=z32,
+                xi_meas=jnp.zeros_like(state.mu),
+                uv_match=jnp.zeros_like(state.uv_ref),
+                counts={k: jnp.int32(0) for k in (
+                    "num_idepth_updates", "num_fail_ref_patch_grad",
+                    "num_fail_ambiguous_match", "num_fail_max_cost",
+                    "num_fail_max_dropouts", "num_fail_max_var")})
+
+        def fake_raster(vtx_uv, vtx_x, tris, tri_valid, *, height, width,
+                        **kw):
+            return (jnp.full((height, width), -1, jnp.int32),
+                    jnp.zeros((tris.shape[0], 3), jnp.float32))
+
+        def fake_costs(*a, **kw):
+            return {}
+
+        def fake_detect(img, occupied_cells, *, win_size, min_grad_mag,
+                        do_letterbox=False):
+            nc = occupied_cells.size
+            return (jnp.zeros((nc, 2), jnp.float32),
+                    jnp.zeros((nc,), jnp.float32),
+                    jnp.zeros((nc,), bool))
+
+        _gc = jax.jit(RG.build_gcat, static_argnums=2)
+        ms = _time_op(lambda: _gc(
+            engine.state.edges, engine.state.edge_valid, N), iters=iters)
+        emit("pd_mm_build_gcat_scatter", ms)
+
+        def fake_ring(state, img_pyr, cur_q, cur_t, frame_id, kf_slot):
+            return (state.kf_pyrs, state.kf_q, state.kf_t,
+                    state.kf_valid, state.kf_ids)
+
+        def fake_median(vals, mask, fallback):
+            return jnp.asarray(fallback, jnp.float32) + 0 * vals[0]
+
+        run("base")
+        run("nodet", first_is_pf=False)
+        run("noring", patches=[(EM, "_ring_insert", fake_ring)])
+        run("nomedian", patches=[(EM, "_masked_median", fake_median)])
+        run("nodetect", patches=[(EM, "detect_features", fake_detect)])
+        run("pd_gather", pvar=_dc.replace(p0, engine=_dc.replace(
+            p0.engine, nltgv2_adjoint="gather")))
+        run("nopyr", patches=[(EM, "build_pyramid", fake_pyr)])
+        run("noproj", patches=[(EP, "project_features", fake_proj)])
+        run("noepi", patches=[(EP, "epipolar_update", fake_epi)])
+        run("noraster", patches=[(RO, "rasterize_ids", fake_raster)])
+        run("nocosts", patches=[(RG, "nltgv2_costs", fake_costs)])
+        run("photo32", pvar=_dc.replace(p0, engine=_dc.replace(
+            p0.engine, photo_stride=32)))
+        run("pd_iters0", pvar=_dc.replace(p0, engine=_dc.replace(
+            p0.engine, pd_iters_per_frame=0)))
+        run("pdoff", pvar=_dc.replace(p0, regularization=_dc.replace(
+            p0.regularization, do_nltgv2=False)))
+
+    # --- det: poseframe-branch piecewise standalone timings --------------
+    if only is not None and "det" in only:
+        from flame_ros_tpu.models import engine as EM
+        from flame_ros_tpu.ops import epipolar as EP
+        from flame_ros_tpu.ops.detection import (detect_features,
+                                                 occupancy_from_features)
+        from flame_ros_tpu.ops.gradients import gradient_magnitude
+        from flame_ros_tpu.ops.pyramid import build_pyramid
+        H, W = VGA.height, VGA.width
+        img = jnp.asarray(imgs[25], jnp.float32)
+        det = params.features.detection
+        occ = jnp.zeros((H // det.win_size, W // det.win_size), bool)
+
+        ms = _time_op(lambda: jax.jit(gradient_magnitude)(img), iters=iters)
+        emit("det_gradmag", ms)
+        ms = _time_op(lambda: detect_features(
+            img, occ, win_size=det.win_size,
+            min_grad_mag=det.min_grad_mag), iters=iters,
+            pull=lambda r: r[0])
+        emit("det_detect_features", ms)
+        ms = _time_op(lambda: jax.jit(occupancy_from_features,
+                                      static_argnums=(2, 3, 4))(
+            st.vtx_uv, st.feat.valid, H, W, det.win_size), iters=iters)
+        emit("det_occupancy", ms)
+        ms = _time_op(lambda: jax.jit(EM._masked_median)(
+            st.feat.mu, st.feat.valid, jnp.float32(0.5)), iters=iters)
+        emit("det_masked_median", ms)
+        img_pyr = build_pyramid(img, 3)
+        ms = _time_op(lambda: jax.jit(EM._ring_insert)(
+            engine.state, img_pyr,
+            jnp.asarray(seq.poses.q[25], jnp.float32),
+            jnp.asarray(seq.poses.t[25], jnp.float32),
+            jnp.int32(999), jnp.int32(3)), iters=iters,
+            pull=lambda r: r[0])
+        emit("det_ring_insert", ms)
+        ms = _time_op(lambda: jax.jit(EP.project_features,
+                                      static_argnames=("cam",))(
+            st.feat, st.kf_q, st.kf_t,
+            jnp.asarray(seq.poses.q[25], jnp.float32),
+            jnp.asarray(seq.poses.t[25], jnp.float32), cam=VGA),
+            iters=iters, pull=lambda r: r[0])
+        emit("det_project_features", ms)
+
+        # Composed pf-branch-ish jit: occupancy + detect + rank-match
+        # allocation, one program.
+        @jax.jit
+        def pf_combo(uv_cur, feat_valid, mu, img):
+            occ2 = occupancy_from_features(uv_cur, feat_valid, H, W,
+                                           det.win_size)
+            duv, dscore, dvalid = detect_features(
+                img, occ2, win_size=det.win_size,
+                min_grad_mag=det.min_grad_mag)
+            free = ~feat_valid
+            det_rank = jnp.cumsum(dvalid.astype(jnp.int32)) - 1
+            free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+            n_free = jnp.sum(free.astype(jnp.int32))
+            take = dvalid & (det_rank < n_free)
+            oh = (free[:, None] & take[None, :]
+                  & (free_rank[:, None] == det_rank[None, :]))
+            hit = jnp.any(oh, axis=1)
+            vals = jnp.stack([duv[:, 0], duv[:, 1], dscore,
+                              jnp.ones_like(dscore)], -1)
+            got = jnp.dot(oh.astype(jnp.float32), vals,
+                          preferred_element_type=jnp.float32)
+            return jnp.where(hit, got[:, 2], mu)
+
+        ms = _time_op(lambda: pf_combo(
+            st.vtx_uv, st.feat.valid, st.feat.mu, img), iters=iters)
+        emit("det_pf_combo", ms)
+
+    # --- pdx: NLTGV2 PD experiments (sweep slope + MXU adjoint) ---------
+    if only is not None and "pdx" in only:
+        from flame_ros_tpu.ops import nltgv2 as reg_ops
+        top = reg_ops.build_topology(st.edges, st.edge_valid, st.vtx_uv,
+                                     inc_edges=st.inc_edges,
+                                     inc_sign=st.inc_sign)
+        lam = reg_ops.data_weights(st.feat.var, st.vtx_in_graph,
+                                   data_factor=0.15, adaptive=False,
+                                   rescale=False)
+        gs = reg_ops.GraphState(x=st.vtx_x, w=st.vtx_w, q=st.edge_q,
+                                x_bar=st.vtx_x, w_bar=st.vtx_w)
+        for ni in (1, 2, 5, 10, 20):
+            ms = _time_op(lambda ni=ni: reg_ops.pd_iterate(
+                gs, top, st.vtx_z, lam, st.vtx_in_graph, num_iters=ni,
+                step_x=0.001, step_q=125.0, theta=1.0),
+                iters=iters, pull=lambda g: g.x)
+            emit(f"pd_sweeps{ni}", ms)
+
+        # MXU-adjoint prototype: the K^T incidence gather ([V, D, 3]
+        # gather + masked reduce) becomes ONE [V, 2E] @ [2E, 3] matmul
+        # with a 0/1 bf16 incidence matrix (exact in bf16); the dual
+        # edge values convert to bf16 (f32 accumulate).
+        V = st.vtx_x.shape[0]
+        E = st.edges.shape[0]
+        ev = top.edge_valid
+
+        @jax.jit
+        def build_gcat(edges, ev):
+            vids = jnp.arange(V, dtype=jnp.int32)
+            gi = ((edges[:, 0][:, None] == vids[None, :])
+                  & ev[:, None]).astype(jnp.bfloat16)
+            gj = ((edges[:, 1][:, None] == vids[None, :])
+                  & ev[:, None]).astype(jnp.bfloat16)
+            return jnp.concatenate([gi, gj], 0).T  # [V, 2E]
+
+        gcat = build_gcat(st.edges, ev)
+        _force(gcat)
+
+        sigma, tau_x, tau_w = reg_ops._precond_steps(top, V)
+
+        @partial(jax.jit, static_argnames=("num_iters",))
+        def pd_iterate_mm(state, top, z, lam, vtx_valid, gcat,
+                          *, num_iters=10, theta=1.0):
+            i = top.edges[:, 0]
+            j = top.edges[:, 1]
+            evf = top.edge_valid[:, None].astype(state.x.dtype)
+            edge_k1w = jnp.concatenate(
+                [top.alpha[:, None], top.alpha[:, None] * top.dp], -1)
+            tau_xw = jnp.concatenate([tau_x[:, None], tau_w], -1)
+            thr = tau_x * lam
+            vm3 = vtx_valid.astype(state.x.dtype)[:, None]
+
+            def pack(x, w):
+                return jnp.concatenate([x[:, None], w], -1)
+
+            def body(_, carry):
+                xw, xwb, q = carry
+                pi = xwb[i]
+                pj = xwb[j]
+                k1 = (edge_k1w[:, 0] * (pi[:, 0] - pj[:, 0])
+                      - edge_k1w[:, 1] * pi[:, 1]
+                      - edge_k1w[:, 2] * pi[:, 2])
+                kw = top.beta[:, None] * (pi[:, 1:] - pj[:, 1:])
+                Kx = jnp.concatenate([k1[:, None], kw], -1)
+                q = jnp.clip(q + sigma * Kx, -1.0, 1.0) * evf
+                a_q1 = top.alpha * q[:, 0]
+                bq = top.beta[:, None] * q[:, 1:]
+                t_tail = jnp.concatenate(
+                    [a_q1[:, None],
+                     -a_q1[:, None] * top.dp + bq], -1)
+                t_head = jnp.concatenate([-a_q1[:, None], -bq], -1)
+                tcat = jnp.concatenate([t_tail, t_head], 0)  # [2E, 3]
+                g = jnp.dot(gcat, tcat.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+                xw_desc = xw - tau_xw * g
+                r = xw_desc[:, 0] - z
+                x_new = z + jnp.sign(r) * jnp.maximum(
+                    jnp.abs(r) - thr, 0.0)
+                xw_new = jnp.concatenate(
+                    [x_new[:, None], xw_desc[:, 1:]], -1)
+                xw_new = vm3 * xw_new + (1 - vm3) * xw
+                xwb = xw_new + theta * (xw_new - xw)
+                return (xw_new, xwb, q)
+
+            xw, xwb, q = jax.lax.fori_loop(
+                0, num_iters, body,
+                (pack(state.x, state.w), pack(state.x_bar, state.w_bar),
+                 state.q), unroll=min(num_iters, 10))
+            return reg_ops.GraphState(x=xw[:, 0], w=xw[:, 1:], q=q,
+                                      x_bar=xwb[:, 0], w_bar=xwb[:, 1:])
+
+        out_ref = reg_ops.pd_iterate(gs, top, st.vtx_z, lam,
+                                     st.vtx_in_graph, num_iters=10,
+                                     step_x=0.001, step_q=125.0, theta=1.0)
+        out_mm = pd_iterate_mm(gs, top, st.vtx_z, lam, st.vtx_in_graph,
+                               gcat, num_iters=10)
+        live = np.asarray(st.vtx_in_graph)
+        dx = np.abs(np.asarray(out_mm.x) - np.asarray(out_ref.x))[live]
+        ref_mag = np.abs(np.asarray(out_ref.x))[live]
+        emit("pd_mm_err", 0.0,
+             max_abs=float(dx.max()) if dx.size else 0.0,
+             rel_med=float(np.median(dx / np.maximum(ref_mag, 1e-3)))
+             if dx.size else 0.0)
+        ms = _time_op(lambda: pd_iterate_mm(
+            gs, top, st.vtx_z, lam, st.vtx_in_graph, gcat, num_iters=10),
+            iters=iters, pull=lambda g: g.x)
+        emit("pd_mm_10sweeps", ms)
+        ms = _time_op(lambda: build_gcat(st.edges, ev), iters=iters)
+        emit("pd_mm_build_gcat", ms)
+
+    # --- rhalf: half-resolution raster prototype ------------------------
+    if only is not None and "rhalf" in only:
+        from flame_ros_tpu.ops import raster_pallas as rp
+        H, W = VGA.height, VGA.width
+        uv_half = st.vtx_uv * 0.5
+        for (h, w, cs, cl) in [(H // 2, W // 2, 384, 128),
+                               (H // 2, W // 2, 256, 96),
+                               (H, W, 384, 128)]:
+            uvs = st.vtx_uv * (h / H)
+            try:
+                ms = _time_op(lambda uvs=uvs, h=h, w=w, cs=cs, cl=cl:
+                              rp.rasterize_tri_ids_pallas_v4(
+                                  uvs, st.tris, st.tri_valid,
+                                  height=h, width=w, cand_s=cs, cand_l=cl,
+                                  long_thresh=48.0, row_tile=2),
+                              iters=iters)
+                emit(f"rhalf_{h}x{w}_cs{cs}_cl{cl}", ms)
+            except Exception as e:
+                emit(f"rhalf_{h}x{w}_cs{cs}_cl{cl}", -1.0,
+                     error=str(e)[:200])
 
     # --- v3 diagnosis + tuning sweep -----------------------------------
     if only is not None and "v3" in only:

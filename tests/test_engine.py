@@ -258,9 +258,9 @@ def test_deferred_triangulation_drop_backpressure(seq):
     gate = threading.Event()
     orig_build = eng._build_topology_host
 
-    def slow_build(uv, el):
+    def slow_build(uv, el, wm=2 ** 30):
         gate.wait(timeout=30.0)
-        return orig_build(uv, el)
+        return orig_build(uv, el, wm)
     eng._build_topology_host = slow_build
     try:
         for w in range(4):

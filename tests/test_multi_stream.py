@@ -74,7 +74,13 @@ def test_runner_matches_single_engine(seq):
                            seq.images[i], is_poseframe=(i % 6 == 0))
         assert ok
     got = runner.get_idepth_maps()[0]
-    want = engine.get_inverse_depth_map()
+    # Compare like-for-like: the runner exposes the IN-DISPATCH dense map
+    # of the last frame (pre-topology-install), so pull the engine's
+    # in-dispatch product rather than the fresh-state getter (which
+    # rasterizes with the just-installed topology).
+    from flame_ros_tpu.ops.raster import idepth_from_ids
+    want = np.asarray(idepth_from_ids(engine.state.last_idmap,
+                                      engine.state.last_planes))
     m = np.isfinite(got) & np.isfinite(want)
     assert m.mean() > 0.4
     # Same math modulo triangulation-order ties: dense maps agree.

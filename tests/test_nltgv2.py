@@ -142,6 +142,43 @@ def test_incidence_gather_matches_scatter(rng):
     np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-5)
 
 
+def test_matmul_adjoint_matches_gather(rng):
+    """The MXU-adjoint sweep (gcat matmul, the TPU product path) must
+    track the exact incidence-gather sweep to bf16 contribution rounding
+    (~1e-3 absolute on the converged primal)."""
+    from flame_ros_tpu.ops.nltgv2 import build_incidence, build_gcat
+    pts, edges = _grid_graph(rng, nx=8, ny=6)
+    V = len(pts)
+    E = 256
+    e, ev = _pad_edges(edges, E)
+    inc_e, inc_s, keep = build_incidence(np.asarray(e), np.asarray(ev),
+                                         V, 16)
+    top = build_topology(e, ev, jnp.asarray(pts),
+                         inc_edges=jnp.asarray(inc_e),
+                         inc_sign=jnp.asarray(inc_s))
+    z = rng.normal(0.4, 0.05, V).astype(np.float32)
+    valid = jnp.ones(V, bool)
+    lam = data_weights(jnp.full(V, 1e-3), valid, data_factor=0.15,
+                       adaptive=False, rescale=False)
+    state = GraphState(x=jnp.asarray(z), w=jnp.zeros((V, 2), jnp.float32),
+                       q=jnp.zeros((E, 3), jnp.float32),
+                       x_bar=jnp.asarray(z),
+                       w_bar=jnp.zeros((V, 2), jnp.float32))
+    ref = pd_iterate(state, top, jnp.asarray(z), lam, valid, num_iters=40)
+    gcat = build_gcat(e, ev, V)
+    mm = pd_iterate(state, top, jnp.asarray(z), lam, valid, gcat,
+                    num_iters=40)
+    np.testing.assert_allclose(np.asarray(mm.x), np.asarray(ref.x),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(mm.w), np.asarray(ref.w),
+                               atol=2e-3)
+    # gcat row/col structure: each valid edge contributes exactly one
+    # tail and one head entry.
+    g = np.asarray(gcat, np.float32)
+    ne = int(np.asarray(ev).sum())
+    assert g[:, :E].sum() == ne and g[:, E:].sum() == ne
+
+
 def test_build_incidence_degree_cap(rng):
     """Edges beyond the degree budget are dropped consistently."""
     from flame_ros_tpu.ops.nltgv2 import build_incidence
