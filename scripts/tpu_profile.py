@@ -52,8 +52,12 @@ def main():
                     help="chainablate: 'name,section.key,value;...'")
     ap.add_argument("--only", default="",
                     help="comma-separated subset: raster,epi,pd,frame,bench")
+    ap.add_argument("--micro-names", default="",
+                    help="comma-separated micro-variant subset (default all)")
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
+    micro_names = (set(args.micro_names.split(","))
+                   if args.micro_names else None)
 
     import jax
     import jax.numpy as jnp
@@ -416,6 +420,8 @@ def main():
         N = p0.engine.max_features
 
         def run(name, pvar=p0, patches=(), first_is_pf=True):
+            if micro_names is not None and name not in micro_names:
+                return
             saved = [(m, a, getattr(m, a)) for m, a, _ in patches]
             for m, a, v in patches:
                 setattr(m, a, v)
