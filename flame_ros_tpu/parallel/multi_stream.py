@@ -335,15 +335,25 @@ class MultiStreamRunner:
 
     def get_meshes(self):
         """Per-stream compacted meshes (one packed D2H of the graph
-        state): list of (uv [V,2], idepth [V], tris [M,3])."""
+        state): list of (uv [V,2], idepth [V], tris [M,3]).
+
+        Triangles are gated on the stale-topology watermark — the same
+        rule as the single-stream getters (Flame._tri_fresh,
+        engine.py): a vertex slot re-detected AFTER the installed
+        triangulation is a different feature at an unrelated pixel, so
+        triangles referencing it are masked until the next install."""
         vb = np.asarray(self.states.vtx_uv)
         xb = np.asarray(self.states.vtx_x)
         gb = np.asarray(self.states.vtx_in_graph)
         tb = np.asarray(self.states.tris)
         tvb = np.asarray(self.states.tri_valid)
+        fid = np.asarray(self.states.feat.frame_id)     # [S, N]
+        wm = np.asarray(self.states.topo_frame_id)      # [S]
         out = []
         for s in range(self.S):
-            out.append((vb[s][gb[s]], xb[s][gb[s]], tb[s][tvb[s]]))
+            v_same = fid[s] <= wm[s]
+            tv = tvb[s] & v_same[tb[s]].all(-1)
+            out.append((vb[s][gb[s]], xb[s][gb[s]], tb[s][tv]))
         return out
 
 

@@ -56,8 +56,18 @@ def main():
                     help="comma-separated micro-variant subset (default all)")
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
-    micro_names = (set(args.micro_names.split(","))
-                   if args.micro_names else None)
+    MICRO_VARIANTS = {
+        "base", "nodet", "noring", "nomedian", "nodetect", "pd_gather",
+        "nopyr", "noproj", "noepi", "noraster", "nocosts", "photo32",
+        "pd_iters0", "pdoff", "build_gcat"}
+    micro_names = (
+        {n.strip() for n in args.micro_names.split(",") if n.strip()}
+        if args.micro_names else None)
+    if micro_names is not None:
+        unknown = micro_names - MICRO_VARIANTS
+        if unknown:
+            ap.error(f"unknown --micro-names {sorted(unknown)}; "
+                     f"known: {sorted(MICRO_VARIANTS)}")
 
     import jax
     import jax.numpy as jnp
@@ -493,10 +503,12 @@ def main():
                     jnp.zeros((nc,), jnp.float32),
                     jnp.zeros((nc,), bool))
 
-        _gc = jax.jit(RG.build_gcat, static_argnums=2)
-        ms = _time_op(lambda: _gc(
-            engine.state.edges, engine.state.edge_valid, N), iters=iters)
-        emit("pd_mm_build_gcat_scatter", ms)
+        if micro_names is None or "build_gcat" in micro_names:
+            _gc = jax.jit(RG.build_gcat, static_argnums=2)
+            ms = _time_op(lambda: _gc(
+                engine.state.edges, engine.state.edge_valid, N),
+                iters=iters)
+            emit("pd_mm_build_gcat_scatter", ms)
 
         def fake_ring(state, img_pyr, cur_q, cur_t, frame_id, kf_slot):
             return (state.kf_pyrs, state.kf_q, state.kf_t,

@@ -110,6 +110,40 @@ def test_runner_sharded_on_mesh(seq):
     np.testing.assert_allclose(a[m], b[m], atol=1e-4)
 
 
+def test_runner_masks_stale_topology_in_meshes(seq):
+    """VERDICT r2 item 6: a vertex slot re-detected AFTER the topology
+    install is a different feature at an unrelated pixel; triangles
+    referencing it must be masked out of get_meshes (same watermark rule
+    as the single-stream getters, Flame._tri_fresh)."""
+    import jax.numpy as jnp
+    runner = ms.MultiStreamRunner(seq.cam, num_streams=2, params=_params())
+    for i in range(13):
+        f = _frames(seq, i)
+        runner.update([f, f])
+    st = runner.states
+    tvb = np.asarray(st.tri_valid)
+    assert tvb[0].any()
+    # Simulate post-install re-detection on stream 0: stamp one corner of
+    # the first valid triangle with a frame id past the watermark (this is
+    # exactly what the detection stage does when it recycles the slot).
+    tri0 = int(np.flatnonzero(tvb[0])[0])
+    slot = int(np.asarray(st.tris)[0, tri0, 0])
+    wm = int(np.asarray(st.topo_frame_id)[0])
+    fid = st.feat.frame_id.at[0, slot].set(wm + 1)
+    runner.states = st._replace(feat=st.feat._replace(frame_id=fid))
+    n_valid0 = int(tvb[0].sum())
+    meshes = runner.get_meshes()
+    # Every triangle touching the recycled slot is masked on stream 0...
+    tris0 = np.asarray(st.tris)[0]
+    n_ghost = int((tvb[0] & (tris0 == slot).any(-1)).sum())
+    assert n_ghost >= 1
+    assert len(meshes[0][2]) == n_valid0 - n_ghost
+    # ...and stream 1 is untouched.
+    assert len(meshes[1][2]) == int(tvb[1].sum())
+    for t in meshes[0][2]:
+        assert slot not in t
+
+
 def test_runner_deferred_triangulation(seq):
     """Deferred mode: host Delaunay overlaps the next frame's dispatch;
     topology installs one frame late but the run stays accurate."""
