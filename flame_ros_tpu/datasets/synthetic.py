@@ -141,6 +141,22 @@ def make_trajectory(n_frames: int, motion: str = "strafe") -> SE3:
         ty = np.zeros_like(ts)
         tz = 0.9 * ts
         yaw = np.zeros_like(ts)
+    elif motion == "rotation":
+        # Rotation-dominant sweep (stress regime, BASELINE "low-texture/
+        # stress" config class): yaw pans ±~17° with a small pitch wobble
+        # while the camera centre barely translates (±6 cm lateral). The
+        # short, direction-varying baselines give the epipolar filter
+        # very little parallax per frame — the regime the reference
+        # guards with its angular-rate publish gate
+        # (src/flame_nodelet.cc:644-662).
+        tx = 0.06 * np.sin(2 * np.pi * ts)
+        ty = 0.02 * (1.0 - np.cos(2 * np.pi * ts))
+        tz = np.zeros_like(ts)
+        yaw = 0.30 * np.sin(2 * np.pi * ts)
+        pitch = 0.06 * np.sin(4 * np.pi * ts)
+        taus = np.stack([tx, ty, tz, pitch, yaw, np.zeros_like(ts)],
+                        axis=-1)
+        return SE3.exp(jnp.asarray(taus))
     elif motion == "static":
         tx = ty = tz = yaw = np.zeros_like(ts)
     else:
@@ -163,12 +179,39 @@ class SyntheticSequence:
 
 
 def make_sequence(n_frames: int = 30, cam: Pinhole = QVGA,
-                  motion: str = "strafe", fps: float = 30.0) -> SyntheticSequence:
+                  motion: str = "strafe", fps: float = 30.0,
+                  texture_gain: float = 1.0,
+                  exposure_amp: float = 0.0,
+                  exposure_period: float = 50.0) -> SyntheticSequence:
+    """Render a posed sequence. Stress knobs (BASELINE "TUM low-texture
+    stress" config class — real sequences are not downloadable here, so
+    the hard regimes are synthesized):
+
+    - texture_gain: scales image contrast about mid-gray. 1.0 = normal;
+      0.3 leaves ~7% of VGA pixels above the detector's min_grad_mag
+      floor (low-texture stress for detection + patch matching).
+    - exposure_amp r: per-frame affine brightness oscillation — gain
+      1 + r*sin(2*pi*i/period) and bias 30*r*sin(2*pi*i/period + 1.3) —
+      the auto-exposure "hunting" a real camera does, scaled so keyframe
+      and current frame never share an exposure regardless of sequence
+      length. Plain SSD epipolar matching breaks; engine.zero_mean_ssd
+      is the counter (the reference's analog is auto-exposure TUM RGB-D
+      footage).
+    GT depths and poses are exact in all regimes.
+    """
     poses = make_trajectory(n_frames, motion)
     imgs, deps = [], []
     for i in range(n_frames):
         g, d = render_frame(cam, poses.q[i], poses.t[i])
-        imgs.append(np.asarray(g))
+        g = np.asarray(g)
+        if texture_gain != 1.0:
+            g = 127.5 + texture_gain * (g - 127.5)
+        if exposure_amp != 0.0:
+            ph = 2.0 * np.pi * i / exposure_period
+            gain = 1.0 + exposure_amp * np.sin(ph)
+            bias = 30.0 * exposure_amp * np.sin(ph + 1.3)
+            g = gain * g + bias
+        imgs.append(np.clip(g, 0.0, 255.0).astype(np.float32))
         deps.append(np.asarray(d))
     return SyntheticSequence(
         cam=cam,

@@ -286,7 +286,9 @@ def _build_frames(args):
 
         cam = VGA if args.resolution == "vga" else QVGA
         seq = make_sequence(n_frames=args.frames or 60, cam=cam,
-                            motion=args.motion)
+                            motion=args.motion,
+                            texture_gain=args.texture_gain,
+                            exposure_amp=args.exposure_amp)
 
         @dataclass
         class F:
@@ -342,6 +344,15 @@ def main(argv=None):
     p.add_argument("--pass-in-truth", action="store_true")
     p.add_argument("--resize-factor", type=int, default=1)
     p.add_argument("--motion", default="strafe")
+    p.add_argument("--texture-gain", type=float, default=1.0,
+                   help="synthetic: contrast scale about mid-gray "
+                        "(0.15 = low-texture stress regime)")
+    p.add_argument("--exposure-amp", type=float, default=0.0,
+                   help="synthetic: auto-exposure oscillation amplitude "
+                        "(0.5 = exposure stress regime)")
+    p.add_argument("--zero-mean-ssd", action="store_true",
+                   help="brightness-offset-invariant epipolar matching "
+                        "(engine.zero_mean_ssd; for auto-exposure input)")
     p.add_argument("--resolution", default="qvga",
                    choices=["qvga", "vga"])
     p.add_argument("--save-products", action="store_true")
@@ -369,6 +380,10 @@ def main(argv=None):
         import dataclasses as _dc
         params = _dc.replace(
             params, debug=_dc.replace(params.debug, profile_stages=True))
+    if args.zero_mean_ssd:
+        import dataclasses as _dc
+        params = _dc.replace(
+            params, engine=_dc.replace(params.engine, zero_mean_ssd=True))
     frames, cam = _build_frames(args)
     if args.pose_noise_sigma > 0 or args.pose_noise_rot_sigma > 0:
         frames = with_pose_noise(frames, args.pose_noise_sigma,

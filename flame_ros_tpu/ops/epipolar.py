@@ -200,9 +200,17 @@ def epipolar_update(
     # Patch direction: along the epipolar line in the ref image (from the
     # epipole through the feature); spacing is 1 pixel at the chosen level.
     e_hom = t_rc @ K.T
-    e_z = jnp.where(jnp.abs(e_hom[..., 2]) < 1e-9, 1.0, e_hom[..., 2])
-    epipole = jnp.stack([e_hom[..., 0] / e_z, e_hom[..., 1] / e_z], -1)
-    d_ref = state.uv_ref - epipole
+    # Homogeneous line direction through the feature and the epipole:
+    # d ∝ uv * e_z - e_xy  (= e_z * (uv - epipole) when the epipole is
+    # finite, and the correct at-infinity direction -e_xy as e_z -> 0).
+    # An in-plane baseline (t_rc_z ~ 0 — e.g. a yaw pan with lateral
+    # translation) puts the epipole at infinity; dividing by a guarded
+    # e_z there fabricated a bogus finite epipole near the image origin
+    # and rotated every ref patch tap off the epipolar direction, which
+    # made the SSD profile garbage (mass max_cost failures + biased
+    # matches) for ALL features. Tap sign is irrelevant (offsets are
+    # symmetric).
+    d_ref = state.uv_ref * e_hom[..., 2:3] - e_hom[..., :2]
     d_ref = d_ref / jnp.maximum(
         jnp.linalg.norm(d_ref, axis=-1, keepdims=True), 1e-12)
 
