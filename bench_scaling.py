@@ -171,6 +171,63 @@ def main():
                       "value": round(eff, 3), "unit": "ratio",
                       "vs_baseline": round(eff / 0.8, 3)}), flush=True)
 
+    # ---- Distributed windowed BA (VERDICT r2 item 4): point axis
+    # sharded over the mesh, Schur reductions as psums
+    # (models/ba.py::bundle_adjust_window_sharded). Reports the timing
+    # ratio vs the single-device solve and the result agreement. ------
+    from flame_ros_tpu.models.ba import (bundle_adjust_window,
+                                         bundle_adjust_window_sharded)
+    from flame_ros_tpu.ops.detection import detect_features, cell_grid_shape
+    from flame_ros_tpu.ops.pyramid import build_pyramid
+
+    K = 4
+    pyrs = jnp.stack([build_pyramid(jnp.asarray(seq.images[i]), 3)
+                      for i in (0, 2, 4, 6)])
+    bq = jnp.stack([seq.poses.q[i] for i in (0, 2, 4, 6)])
+    bt = jnp.stack([seq.poses.t[i] for i in (0, 2, 4, 6)])
+    occ = jnp.zeros(cell_grid_shape(240, 320, 16), bool)
+    duv, _, dvalid = detect_features(jnp.asarray(seq.images[0]), occ,
+                                     win_size=16, min_grad_mag=5.0)
+    P_pts = 1024
+    uv = np.zeros((P_pts, 2), np.float32)
+    sel = np.asarray(duv)[np.asarray(dvalid)][:P_pts]
+    uv[:len(sel)] = sel
+    pv = jnp.asarray(np.arange(P_pts) < len(sel))
+    dmap = seq.depths[0]
+    gt_id = jnp.asarray((1.0 / np.maximum(
+        dmap[np.clip(uv[:, 1].astype(int), 0, 239),
+             np.clip(uv[:, 0].astype(int), 0, 319)], 1e-6))
+        .astype(np.float32))
+    rng = np.random.default_rng(0)
+    d0 = gt_id * (1 + 0.05 * jnp.asarray(rng.normal(0, 1, P_pts),
+                                         jnp.float32))
+    kw = dict(cam=QVGA, num_iters=6, coarse_iters=4, level=1)
+
+    def time_ba(fn, n=5):
+        r = fn()
+        np.asarray(r.q)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            r = fn()
+            np.asarray(r.q)
+        return (time.perf_counter() - t0) / n * 1e3, r
+
+    ms1, r1 = time_ba(lambda: bundle_adjust_window(
+        pyrs, bq, bt, jnp.ones(K, bool), jnp.asarray(uv), d0, pv, **kw))
+    n_ba = min(4, n_dev)
+    mesh_ba = Mesh(np.asarray(devs[:n_ba]), ("feat",))
+    msN, rN = time_ba(lambda: bundle_adjust_window_sharded(
+        mesh_ba, pyrs, bq, bt, jnp.ones(K, bool), jnp.asarray(uv), d0,
+        pv, axis="feat", **kw))
+    agree = float(jnp.abs(r1.t - rN.t).max())
+    print(json.dumps({"metric": "ba_window_ms_1dev",
+                      "value": round(ms1, 1), "unit": "ms/solve",
+                      "points": P_pts}), flush=True)
+    print(json.dumps({"metric": f"ba_window_ms_{n_ba}dev",
+                      "value": round(msN, 1), "unit": "ms/solve",
+                      "speedup": round(ms1 / msN, 3),
+                      "t_agreement": agree}), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -285,10 +285,8 @@ class FlameNodelet:
         in-process instead of arriving from an external SLAM system)."""
         import jax.numpy as jnp
 
-        from flame_ros_tpu.models.ba import (bundle_adjust_window,
-                                             gather_ba_inputs,
-                                             match_window_points,
-                                             refine_matches_2d)
+        from flame_ros_tpu.models.ba import (gather_ba_inputs,
+                                             hybrid_bundle_adjust)
 
         st = self.engine.state
         P = 256
@@ -315,25 +313,17 @@ class FlameNodelet:
         roll = lambda a: jnp.roll(a, -ref_slot, axis=0)
         kf_pyrs_r = roll(st.kf_pyrs)
         kf_q_r, kf_t_r = roll(st.kf_q), roll(st.kf_t)
-        # Reprojection channels: epipolar pixel matches of the BA points
-        # into every window frame (one vmapped dispatch) — hybrid BA
-        # keeps badly-drifted keyframes recoverable where photometric
-        # residuals alone have a narrow basin.
-        uv_obs, obs_ok = match_window_points(
-            kf_pyrs_r[0], kf_q_r[0], kf_t_r[0], kf_pyrs_r, kf_q_r,
-            kf_t_r, jnp.asarray(uv), jnp.asarray(d0), jnp.asarray(pv),
-            cam=self.cam)
-        # Free the matches from the (possibly wrong-pose) epipolar line:
-        # 2-D LK refinement removes the line-projection bias that caps
-        # recovery of badly drifted far keyframes.
-        uv_obs, obs_ok = refine_matches_2d(
-            kf_pyrs_r[0], jnp.asarray(uv), kf_pyrs_r, uv_obs, obs_ok)
-        res = bundle_adjust_window(
+        # Hybrid BA: epipolar matches (freed from the wrong-pose line by
+        # 2-D LK) supply reprojection channels; one round per frame —
+        # the per-frame cadence itself re-estimates matches from the
+        # previous call's accepted poses, so the live loop gets the
+        # envelope benefit of multi-round hybrid BA without paying two
+        # solves per frame (models/ba.py::hybrid_bundle_adjust).
+        res = hybrid_bundle_adjust(
             kf_pyrs_r, kf_q_r, kf_t_r,
             roll(st.kf_valid), jnp.asarray(uv), jnp.asarray(d0),
-            jnp.asarray(pv), ref_index=0, cam=self.cam,
-            num_iters=4, coarse_iters=2, level=1,
-            uv_obs=uv_obs, obs_valid=obs_ok)
+            jnp.asarray(pv), cam=self.cam, rounds=1,
+            num_iters=4, coarse_iters=2, level=1)
         self.ba_costs.append(float(res.final_cost))
         q = np.roll(np.asarray(res.q), ref_slot, axis=0)
         t = np.roll(np.asarray(res.t), ref_slot, axis=0)

@@ -216,6 +216,114 @@ def refine_matches_2d(ref_pyr, uv_ref, kf_pyrs, uv_obs, obs_valid, *,
     return jnp.where(ok[..., None], uv_new, uv_obs), ok
 
 
+def bundle_adjust_window_sharded(mesh, kf_pyrs, kf_q, kf_t, kf_valid,
+                                 uv_ref, idepth0, point_valid, *,
+                                 axis: str = "feat",
+                                 uv_obs=None, obs_valid=None,
+                                 **ba_kwargs) -> BAResult:
+    """Windowed BA with the POINT axis sharded over `mesh`'s `axis`.
+
+    Distributed-BA entry (SURVEY §7.6 / BASELINE north star): points
+    (and their matches) split across devices; keyframe pyramids and
+    poses are replicated; each device builds residuals/Jacobians and
+    the Schur partial sums for ITS points, and one psum per GN
+    iteration assembles the tiny [K*D, K*D] pose system, which every
+    device solves identically. Depth back-substitution stays local.
+    Results: poses replicated; `idepths` sharded like the input points.
+
+    Agreement with the unsharded `bundle_adjust_window` is exact up to
+    f32 reduction order (tested to 1e-5, tests/test_ba.py).
+
+    P must divide by the axis size (pad with point_valid=False lanes).
+    """
+    from jax.sharding import PartitionSpec as P_
+
+    pt = P_(axis)
+    rep = P_()
+    out_specs = BAResult(q=rep, t=rep, idepths=pt, final_cost=rep,
+                         n_valid=rep, gains=rep, offsets=rep)
+    if uv_obs is not None:
+        if obs_valid is None:
+            obs_valid = jnp.ones(uv_obs.shape[:2], bool)
+
+        def fn(pyrs, q, t, kv, uv, d0, pv, uo, ov):
+            return bundle_adjust_window(
+                pyrs, q, t, kv, uv, d0, pv, uv_obs=uo, obs_valid=ov,
+                axis_name=axis, **ba_kwargs)
+
+        in_specs = (rep, rep, rep, rep, pt, pt, pt, pt, pt)
+        args = (kf_pyrs, kf_q, kf_t, kf_valid, uv_ref, idepth0,
+                point_valid, uv_obs, obs_valid)
+    else:
+        def fn(pyrs, q, t, kv, uv, d0, pv):
+            return bundle_adjust_window(
+                pyrs, q, t, kv, uv, d0, pv, axis_name=axis, **ba_kwargs)
+
+        in_specs = (rep, rep, rep, rep, pt, pt, pt)
+        args = (kf_pyrs, kf_q, kf_t, kf_valid, uv_ref, idepth0,
+                point_valid)
+    return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)(*args)
+
+
+def hybrid_bundle_adjust(kf_pyrs, kf_q, kf_t, kf_valid, uv_ref, idepth0,
+                         point_valid, *, cam: Pinhole, rounds: int = 3,
+                         num_iters: int = 12, coarse_iters: int = 10,
+                         level: int = 1, **ba_kwargs) -> BAResult:
+    """Full hybrid windowed BA with MATCH RE-ESTIMATION between rounds.
+
+    One round = epipolar matches under the current pose estimates
+    (`match_window_points`) -> 2-D LK line-bias removal
+    (`refine_matches_2d`) -> joint pose+depth Gauss-Newton with
+    reprojection channels (`bundle_adjust_window`). A badly drifted far
+    keyframe biases round 1's matches (the search line itself is wrong),
+    which caps single-shot recovery at |tau| ~ 0.05 rad+m (the
+    wrong-basin boundary recorded in BENCH_NOTES round 2). The schedule
+    here moves that boundary:
+
+      round 1: TIGHT 2-D search (default radius) — full precision when
+               the window is already near truth;
+      round 2: WIDE 2-D search (radius 8 at the coarse level, 64 px
+               shift cap) from round 1's best — frees matches that the
+               wrong epipolar line pushed outside the tight basin;
+      round 3+: tight polish.
+
+    Rounds hill-climb on the robust final cost: each round starts from
+    the best configuration so far and a round's result is kept only if
+    its cost improves on it. Measured on the far-keyframe envelope
+    sweep (tests/test_ba.py::test_ba_recovery_envelope): clean recovery
+    through 0.07 rad+m on all seeds and partial (error at least halved)
+    at 0.09, vs a hard 0.05 boundary for one tight round; precision at
+    <= 0.05 is unchanged. rounds=1 skips the recovery machinery (the
+    per-frame live path, frontends/nodelet.py).
+
+    The reference keyframe must sit at index 0 (callers roll the ring).
+    """
+    WIDE = (8, 64.0)
+    TIGHT = (3, 24.0)
+    best_cost = jnp.inf
+    q, t, d = kf_q, kf_t, idepth0
+    res = best_res = None
+    for r in range(max(rounds, 1)):
+        sr, ms = WIDE if r == 1 else TIGHT
+        uv_obs, obs_ok = match_window_points(
+            kf_pyrs[0], q[0], t[0], kf_pyrs, q, t,
+            uv_ref, d, point_valid, cam=cam)
+        uv_obs, obs_ok = refine_matches_2d(
+            kf_pyrs[0], uv_ref, kf_pyrs, uv_obs, obs_ok,
+            search_radius=sr, max_shift=ms)
+        res = bundle_adjust_window(
+            kf_pyrs, q, t, kf_valid, uv_ref, d, point_valid,
+            ref_index=0, cam=cam, num_iters=num_iters,
+            coarse_iters=coarse_iters, level=level,
+            uv_obs=uv_obs, obs_valid=obs_ok, **ba_kwargs)
+        if best_res is None or float(res.final_cost) < best_cost:
+            best_cost = float(res.final_cost)
+            best_res = res
+        q, t, d = best_res.q, best_res.t, best_res.idepths
+    return best_res
+
+
 def _warp_uv(tau_j, d_p, uv_p, q_j, t_j, ref_q, ref_t, cam: Pinhole):
     """Project point p (ref pixel uv_p, inverse depth d_p) into frame j
     under pose perturbation tau_j. Returns (uv_j [2], in-front)."""
@@ -264,7 +372,8 @@ def _grad_mag(pyr, uv, level):
 
 @partial(jax.jit, static_argnames=("cam", "num_iters", "coarse_iters",
                                    "level", "optimize_poses",
-                                   "estimate_affine", "gradient_weight"))
+                                   "estimate_affine", "gradient_weight",
+                                   "axis_name"))
 def bundle_adjust_window(
     kf_pyrs,           # [K, L, H, W] keyframe pyramids
     kf_q, kf_t,        # [K, 4], [K, 3] initial poses (camera-to-world)
@@ -287,6 +396,7 @@ def bundle_adjust_window(
     uv_obs=None,           # [P, K, 2] observed pixel matches per frame
     obs_valid=None,        # [P, K] bool
     reproj_weight: float = 4.0,
+    axis_name: str | None = None,
 ):
     """Joint pose+depth Gauss-Newton over the keyframe window.
 
@@ -315,9 +425,21 @@ def bundle_adjust_window(
     the wrong-basin failure recorded in BENCH_NOTES item 7. Weighted so
     reproj_weight px of reprojection error trades against one gray
     level of intensity error.
+
+    axis_name: when set, the POINT axis is assumed sharded over that
+    mesh axis (call through `bundle_adjust_window_sharded` /
+    `jax.shard_map`): every cross-point reduction — the Schur-reduced
+    system S/rhs, the robust-cost accept test, n_valid — becomes a
+    `psum` over ICI, while all per-point state (depths, Hdd, Hpd,
+    back-substitution) stays shard-local. This is the BASELINE north
+    star's "BA Schur reductions ride ICI psums" design (SURVEY §7.6):
+    the reduced 6K x 6K pose system is tiny and replicated; only the
+    [K*D, K*D] partial sums cross devices per iteration.
     """
     K = kf_q.shape[0]
     P = uv_ref.shape[0]
+    ps = ((lambda x: jax.lax.psum(x, axis_name)) if axis_name
+          else (lambda x: x))
     lvl = jnp.int32(level)
     n_levels = kf_pyrs.shape[1]
     ref_q = kf_q[ref_index]
@@ -368,9 +490,9 @@ def bundle_adjust_window(
         rr, ww = jax.vmap(jax.vmap(r_one, in_axes=(None, None, 0)),
                           in_axes=(0, 0, None))(d, p_ids, j_ids)
         w = (ww * fmask[None, :] * pvalid[:, None])[..., None]  # [P,K,1]
-        return jnp.sum(jnp.where(
-            w > 0, jnp.minimum(jnp.abs(rr), 3 * huber_delta), 0.0)) \
-            / jnp.maximum(jnp.sum(w), 1.0)
+        num = jnp.sum(jnp.where(
+            w > 0, jnp.minimum(jnp.abs(rr), 3 * huber_delta), 0.0))
+        return ps(num) / jnp.maximum(ps(jnp.sum(w)), 1.0)
 
     def gn(carry, it_lvl):
         q, t, g, o, d, lam = carry
@@ -419,6 +541,12 @@ def bundle_adjust_window(
             + jax.scipy.linalg.block_diag(*[Hpp[k] for k in range(K)])
         rhs = (bp.reshape(K * D)
                - jnp.einsum("pki,p,p->ki", Hpd, Hdd_inv, bd).reshape(K * D))
+        # Sharded points: S/rhs above are the shard-local partial sums
+        # over this device's points — ONE psum each completes the
+        # Schur-reduced system (per BA iteration, [K*D,K*D]+[K*D] floats
+        # over ICI; everything per-point stays local).
+        S = ps(S)
+        rhs = ps(rhs)
         # Levenberg damping, ADAPTIVE: lam shrinks on accepted steps and
         # grows on rejected ones (the photometric pose-depth trade-off is
         # ill-conditioned at small baselines; fixed damping lets
@@ -519,8 +647,9 @@ def bundle_adjust_window(
     rr, ww = jax.vmap(jax.vmap(r_final, in_axes=(None, None, 0)),
                       in_axes=(0, 0, None))(d, p_ids, j_ids)
     w = (ww * fmask[None, :] * pvalid[:, None])
-    cost = jnp.sum(jnp.where(w > 0, jnp.minimum(jnp.abs(rr), 3 * huber_delta),
-                             0.0)) / jnp.maximum(jnp.sum(w), 1.0)
+    cost = ps(jnp.sum(jnp.where(
+        w > 0, jnp.minimum(jnp.abs(rr), 3 * huber_delta), 0.0))) \
+        / jnp.maximum(ps(jnp.sum(w)), 1.0)
     return BAResult(q=q, t=t, idepths=d, final_cost=cost,
-                    n_valid=jnp.sum(pvalid.astype(jnp.int32)),
+                    n_valid=ps(jnp.sum(pvalid.astype(jnp.int32))),
                     gains=g, offsets=o)

@@ -265,6 +265,74 @@ def test_product_path_matches_recover_far_keyframe(setup):
     assert after.max() < 0.03, after
 
 
+def test_ba_sharded_matches_unsharded(setup):
+    """Distributed BA (SURVEY §7.6): sharding the point axis over a
+    4-device mesh — Schur partial sums completed by psum — must agree
+    with the single-device solve to f32 reduction-order tolerance."""
+    import jax
+    from jax.sharding import Mesh
+    from flame_ros_tpu.models.ba import bundle_adjust_window_sharded
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4-device mesh")
+    seq, pyrs, q, t, uvp, gt_idepth, pv, K = setup
+    rng = np.random.default_rng(0)
+    noise = rng.normal(0, 0.01, (K, 6)).astype(np.float32)
+    noise[0] = 0
+    Tn = [SE3(q[k], t[k]) @ SE3.exp(jnp.asarray(noise[k]))
+          for k in range(K)]
+    qn = jnp.stack([p.q for p in Tn])
+    tn = jnp.stack([p.t for p in Tn])
+    d0 = jnp.asarray(gt_idepth.astype(np.float32)) \
+        * (1 + 0.05 * jnp.asarray(rng.normal(0, 1, uvp.shape[0]),
+                                  jnp.float32))
+    kw = dict(cam=seq.cam, num_iters=6, coarse_iters=4, level=1)
+    r0 = bundle_adjust_window(pyrs, qn, tn, jnp.ones(K, bool), uvp, d0,
+                              pv, **kw)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("feat",))
+    r1 = bundle_adjust_window_sharded(
+        mesh, pyrs, qn, tn, jnp.ones(K, bool), uvp, d0, pv,
+        axis="feat", **kw)
+    # f32 reduction-order tolerance: psum sums shards in a different
+    # order than the single einsum (measured ~3e-5 worst case here).
+    np.testing.assert_allclose(np.asarray(r0.q), np.asarray(r1.q),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(r0.t), np.asarray(r1.t),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(r0.idepths),
+                               np.asarray(r1.idepths), atol=5e-4)
+    assert int(r0.n_valid) == int(r1.n_valid)
+
+
+@pytest.mark.parametrize("mag,clean", [(0.07, True), (0.09, False)])
+def test_ba_recovery_envelope(setup, mag, clean):
+    """Far-keyframe recovery envelope (VERDICT r2 item 7): the
+    tight->wide->tight hybrid schedule recovers |tau| = 0.07 rad+m
+    cleanly on every seed (the recorded round-2 boundary was 0.05) and
+    at least halves the error at 0.09. Sweep data: BENCH_NOTES round-3
+    envelope table."""
+    from flame_ros_tpu.models.ba import hybrid_bundle_adjust
+    seq, pyrs, q, t, uvp, gt_idepth, pv, K = setup
+    for seed in (7, 11, 3):
+        rng = np.random.default_rng(seed)
+        vec = rng.normal(0, 1, 6)
+        noise = np.zeros((K, 6), np.float32)
+        noise[3] = mag * vec / np.linalg.norm(vec)
+        Tn = [SE3(q[k], t[k]) @ SE3.exp(jnp.asarray(noise[k]))
+              for k in range(K)]
+        qn = jnp.stack([p.q for p in Tn])
+        tn = jnp.stack([p.t for p in Tn])
+        res = hybrid_bundle_adjust(
+            pyrs, qn, tn, jnp.ones(K, bool), uvp,
+            jnp.asarray(gt_idepth.astype(np.float32)), pv,
+            cam=seq.cam, rounds=3, num_iters=12)
+        after = _pose_errs(res.q, res.t, q, t, K)
+        if clean:
+            assert after[3] < 0.06, (mag, seed, after)
+        assert after[3] < 0.66 * mag, (mag, seed, after)
+        assert after.max() <= after[3] + 1e-6 or after.max() < 0.06, \
+            (mag, seed, after)
+
+
 def test_ba_reprojection_constraints_recover_far_keyframe(setup):
     """Hybrid BA: pixel-match (reprojection) residuals are near-convex
     over pose errors that photometric-only BA cannot recover — a badly
