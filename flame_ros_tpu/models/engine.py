@@ -23,6 +23,7 @@ TPU-first:
 """
 from __future__ import annotations
 
+import time as time_mod
 from collections import deque
 from functools import partial
 from typing import NamedTuple, Optional
@@ -1109,10 +1110,19 @@ class Flame:
         if gt_dev is None:
             gt_dev = jnp.zeros((B, self.cam.height, self.cam.width),
                                jnp.float32)
+        # Per-frame coarse stage record (VERDICT r2 item 9): the fused
+        # window step has exactly one observable host boundary, timed
+        # here and amortized per frame. Under async dispatch this is
+        # host-side enqueue cost; on sync backends it includes compute.
+        # The full 13-key device breakdown remains the sampled stage
+        # profiler's job (utils/stage_profiler.py).
+        t0 = time_mod.perf_counter()
         (self.state, statuses, uv_matches, stats, dets) = _window_step(
             self.state, packed_dev, gt_dev,
             cam=self.cam, params=self.params, has_gt=has_gt,
             first_is_pf=first_is_pf)
+        self.stats_.set_timing(
+            "dispatch", (time_mod.perf_counter() - t0) * 1e3 / max(B, 1))
         self._dev_status = statuses[-1]
         self._dev_uv_match = uv_matches[-1]
         self._dev_stats = stats[-1]

@@ -1,0 +1,107 @@
+"""Multi-process END-TO-END worker: the full MultiStreamRunner loop —
+poseframe detection, per-process D2H of local stream shards, per-process
+host Delaunay, packed topology install, NLTGV2 smoothing, raster —
+across a jax.distributed process boundary (VERDICT r2 item 2; the CPU
+multi-controller analog of a multi-host TPU pod where each host feeds
+and triangulates its own camera streams).
+
+Unlike parallel/dist_smoke.py (one batched_frame_step), this drives
+MultiStreamRunner through >= 3 poseframe periods, so the cross-process
+run exercises the complete host<->device topology round-trip several
+times, then checks per-stream accuracy against GT.
+
+Launched by tests/test_distributed.py / bench_scaling.py:
+
+    python -m flame_ros_tpu.parallel.dist_e2e <pid> <nproc> <port> \
+        [n_frames] [--bench]
+
+Each worker needs JAX_PLATFORMS=cpu,
+XLA_FLAGS=--xla_force_host_platform_device_count=<local>, and no
+remote-TPU plugin on PYTHONPATH.
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+
+def main(pid: int, nproc: int, port: int, n_frames: int = 13,
+         bench: bool = False) -> None:
+    import jax
+    jax.distributed.initialize(f"127.0.0.1:{port}", nproc, pid)
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from flame_ros_tpu.config import FlameParams
+    from flame_ros_tpu.datasets.synthetic import make_sequence, QVGA
+    from flame_ros_tpu.geometry.se3 import SE3
+    from flame_ros_tpu.parallel import multi_stream as ms
+
+    # One device per process on the stream axis: each process owns one
+    # stream end-to-end (ingest, triangulation, products), all engine
+    # dispatches are one global pjit.
+    by_proc = {}
+    for d in jax.devices():
+        by_proc.setdefault(d.process_index, d)
+    devs = [by_proc[p] for p in sorted(by_proc)]
+    assert len(devs) == nproc, (len(devs), nproc)
+    mesh = Mesh(np.asarray(devs).reshape(nproc, 1), ("stream", "feat"))
+
+    params = FlameParams.from_dict({
+        "engine": {"max_features": 512, "max_keyframes": 4,
+                   "pd_iters_per_frame": 30},
+        "input": {"poseframe_subsample_factor": 6},
+    })
+    seq = make_sequence(n_frames=14, cam=QVGA, motion="strafe")
+    runner = ms.MultiStreamRunner(QVGA, nproc, params=params, mesh=mesh)
+    assert runner.multiprocess
+
+    def frame(i):
+        return (seq.timestamps[i], i,
+                SE3(np.asarray(seq.poses.q[i]), np.asarray(seq.poses.t[i])),
+                seq.images[i])
+
+    # Stream s runs s frames behind -> genuinely different per-host state.
+    for i in range(n_frames):
+        runner.update([frame(max(i - s, 0)) for s in range(nproc)])
+    if bench:
+        runner.get_idepth_maps()
+        t0 = time.perf_counter()
+        n_bench = 24
+        for i in range(n_bench):
+            runner.update([frame(max((i % 13) - s, 0))
+                           for s in range(nproc)])
+        runner.get_idepth_maps()
+        fps = nproc * n_bench / (time.perf_counter() - t0)
+        print(f"DIST_E2E_FPS pid={pid} fps={fps:.2f}", flush=True)
+
+    local = runner.local_streams()
+    assert local == [pid], (local, pid)  # one stream per process
+    maps = runner.get_idepth_maps()
+    assert maps.shape[0] == len(local)
+    meshes = runner.get_meshes()
+    assert len(meshes) == len(local)
+    stats = runner.flush_stats()
+
+    # Per-process accuracy of ITS stream vs GT (stream pid lags pid
+    # frames; >= 3 poseframe rounds ran, so the mesh is installed and
+    # fresh).
+    ref = max(n_frames - 1 - pid, 0)
+    gt = 1.0 / np.maximum(seq.depths[ref], 1e-6)
+    m = np.isfinite(maps[0]) & (seq.depths[ref] > 0)
+    assert m.mean() > 0.4, f"coverage {m.mean()}"
+    med = float(np.median(np.abs(maps[0] - gt)[m]))
+    assert med < 0.05, f"median idepth err {med}"
+    uv, x, tris = meshes[0]
+    assert len(tris) >= 1 and np.isfinite(x).all()
+    assert stats and stats[0]["coverage"] > 0.3
+    print(f"DIST_E2E_OK pid={pid} nproc={nproc} frames={n_frames} "
+          f"pf_rounds={(n_frames + 5) // 6} cov={m.mean():.3f} "
+          f"med_err={med:.4f} tris={len(tris)}", flush=True)
+
+
+if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if a != "--bench"]
+    main(int(args[0]), int(args[1]), int(args[2]),
+         int(args[3]) if len(args) > 3 else 13,
+         bench="--bench" in sys.argv)

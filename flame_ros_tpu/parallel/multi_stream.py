@@ -197,6 +197,13 @@ class MultiStreamRunner:
         self.params = (params or FlameParams()).resolved(
             jax.default_backend())
         self.mesh = mesh
+        # Multi-controller (jax.distributed) mode: every process runs
+        # this same runner with the same global frame schedule; each
+        # process touches only its ADDRESSABLE stream shards for host
+        # work (D2H, Delaunay, packing) and global arrays assemble via
+        # make_array_from_callback — the multi-host TPU flow where each
+        # host feeds and triangulates its own streams.
+        self.multiprocess = jax.process_count() > 1
         # Deferred mode (mirrors Flame.deferred_triangulation): the
         # poseframe D2H + S Delaunay builds run on the worker pool while
         # the NEXT frames' dispatches proceed; topology installs one
@@ -219,13 +226,46 @@ class MultiStreamRunner:
         self.last_stats = None   # [S, len(DEVICE_STATS_KEYS)] device
         self.last_idepth = None  # [S, H, W] device
 
+    def _put_rows(self, arr: np.ndarray, spec=None):
+        """Place a host array with leading stream axis onto the mesh.
+        In multi-controller mode the array (same on every process, or a
+        per-process dict of stream->row) lands via
+        make_array_from_callback so each process materializes only its
+        addressable shards."""
+        if self.mesh is None:
+            return jax.device_put(arr)
+        spec = spec if spec is not None else P(
+            "stream", *([None] * (arr.ndim - 1)))
+        sh = NamedSharding(self.mesh, spec)
+        if not self.multiprocess:
+            return jax.device_put(arr, sh)
+        return jax.make_array_from_callback(
+            arr.shape, sh, lambda idx: arr[idx])
+
+    def local_streams(self) -> list[int]:
+        """Stream indices whose shards this process addresses (all of
+        them in single-process mode)."""
+        if self.mesh is None or not self.multiprocess:
+            return list(range(self.S))
+        dv = np.asarray(self.mesh.devices)  # [stream_axis, feat_axis]
+        pid = jax.process_index()
+        rows = sorted({int(i) for i in range(dv.shape[0])
+                       if any(d.process_index == pid for d in dv[i])})
+        per = self.S // dv.shape[0]
+        out = []
+        for r in rows:
+            out.extend(range(r * per, (r + 1) * per))
+        return out
+
     def update(self, frames, gt_depths=None) -> bool:
         """Advance every stream by one frame.
 
         frames: length-S list of (time, img_id, pose: SE3, gray) tuples.
         The poseframe schedule is internal: every
         input.poseframe_subsample_factor-th processed frame is a
-        poseframe for ALL streams."""
+        poseframe for ALL streams. In multi-controller mode every
+        process passes the same global list (host pack cost is
+        duplicated; device bytes move only for addressable shards)."""
         assert len(frames) == self.S
         # Install completed deferred topologies (issue order, never
         # blocking the dispatch path — engine semantics).
@@ -249,12 +289,11 @@ class MultiStreamRunner:
             packed[s, H * W:] = eng_mod.pack_frame_meta(
                 np.asarray(pose.q), np.asarray(pose.t), img_id, is_pf,
                 kf_slot)
-        packed_dev = (jax.device_put(packed, self._row_sharding)
-                      if self._row_sharding is not None
-                      else jax.device_put(packed))
+        packed_dev = self._put_rows(packed)
         has_gt = gt_depths is not None
-        gt_dev = (jnp.asarray(np.asarray(gt_depths, np.float32))
-                  if has_gt else jnp.zeros((self.S, H, W), jnp.float32))
+        gt_host = (np.asarray(gt_depths, np.float32) if has_gt
+                   else np.zeros((self.S, H, W), np.float32))
+        gt_dev = self._put_rows(gt_host)
         self.states, (idepth, stats) = batched_full_step(
             self.states, packed_dev, gt_dev, cam=self.cam,
             params=self.params, is_pf=is_pf, has_gt=has_gt)
@@ -295,42 +334,89 @@ class MultiStreamRunner:
                 max_workers=min(self.S, 8) + 1,
                 thread_name_prefix="flame-ms-tri")
 
-    def _build_topologies(self, graph_dev) -> np.ndarray:
+    def _build_topologies(self, graph_dev):
         """Per-stream host Delaunay: ONE packed D2H for all streams, the
         Delaunay/incidence builds fan out on a thread pool, and all S
-        packed topologies come back as one [S, ...] int32 batch."""
+        packed topologies come back as one [S, ...] int32 batch.
+
+        Multi-controller: each process pulls ONLY its addressable
+        stream shards (a local D2H), triangulates its own streams, and
+        returns {stream_id: packed_topology} — the per-host work split
+        of a real multi-host run."""
         vtx_uv, vtx_in_graph = graph_dev
         N = self.params.engine.max_features
-        buf = np.asarray(jnp.concatenate(
+        buf_dev = jnp.concatenate(
             [vtx_uv.reshape(self.S, -1),
-             vtx_in_graph.astype(jnp.float32)], axis=1))
-        uv = buf[:, :2 * N].reshape(self.S, N, 2)
-        elig = buf[:, 2 * N:] > 0.5
+             vtx_in_graph.astype(jnp.float32)], axis=1)
         self._ensure_pool()
         builder = _HostTopologyBuilder(self.params)
         wm = self._max_frame_id
+        if self.multiprocess:
+            rows = {}
+            for shard in buf_dev.addressable_shards:
+                sl = shard.index[0]
+                data = np.asarray(shard.data)
+                for j, s in enumerate(range(*sl.indices(self.S))):
+                    rows[s] = data[j]
+            ids = sorted(rows)
+            topos = list(self._tri_pool.map(
+                lambda s: builder.build(
+                    rows[s][:2 * N].reshape(N, 2), rows[s][2 * N:] > 0.5,
+                    wm), ids))
+            return dict(zip(ids, topos))
+        buf = np.asarray(buf_dev)
+        uv = buf[:, :2 * N].reshape(self.S, N, 2)
+        elig = buf[:, 2 * N:] > 0.5
         topos = list(self._tri_pool.map(
             lambda s: builder.build(uv[s], elig[s], wm), range(self.S)))
         return np.stack(topos)
 
-    def _install_topologies(self, bufs: np.ndarray):
-        bufs_dev = (jax.device_put(bufs, self._row_sharding)
-                    if self._row_sharding is not None
-                    else jax.device_put(bufs))
+    def _install_topologies(self, bufs):
+        if isinstance(bufs, dict):
+            # Multi-controller: this process supplies only its local
+            # streams' topologies; the callback runs per addressable
+            # shard only.
+            L = len(next(iter(bufs.values())))
+            sh = NamedSharding(self.mesh, P("stream", None))
+            bufs_dev = jax.make_array_from_callback(
+                (self.S, L), sh,
+                lambda idx: np.stack(
+                    [bufs[s] for s in range(*idx[0].indices(self.S))]))
+        else:
+            bufs_dev = (jax.device_put(bufs, self._row_sharding)
+                        if self._row_sharding is not None
+                        else jax.device_put(bufs))
         e = self.params.engine
         self.states = _batched_install(
             self.states, bufs_dev, T=e.max_triangles, E=e.max_edges,
             N=e.max_features, D=e.max_vertex_degree)
 
+    def _pull_rows(self, arr) -> dict[int, np.ndarray]:
+        """{stream_id: row} for every stream this process addresses."""
+        if not self.multiprocess:
+            h = np.asarray(arr)
+            return {s: h[s] for s in range(self.S)}
+        out = {}
+        for shard in arr.addressable_shards:
+            data = np.asarray(shard.data)
+            for j, s in enumerate(range(*shard.index[0].indices(self.S))):
+                out[s] = data[j]
+        return out
+
     def flush_stats(self) -> list[dict]:
-        """One D2H: per-stream stats dicts for the last frame."""
+        """One D2H: per-stream stats dicts for the last frame (local
+        streams only in multi-controller mode — missing entries are
+        other hosts' streams)."""
         if self.last_stats is None:
             return []
-        arr = np.asarray(self.last_stats)
-        return [dict(zip(eng_mod.DEVICE_STATS_KEYS, map(float, row)))
-                for row in arr]
+        rows = self._pull_rows(self.last_stats)
+        return [dict(zip(eng_mod.DEVICE_STATS_KEYS, map(float, rows[s])))
+                for s in sorted(rows)]
 
     def get_idepth_maps(self) -> np.ndarray:
+        if self.multiprocess:
+            rows = self._pull_rows(self.last_idepth)
+            return np.stack([rows[s] for s in sorted(rows)])
         return np.asarray(self.last_idepth)
 
     def get_meshes(self):
@@ -342,18 +428,19 @@ class MultiStreamRunner:
         engine.py): a vertex slot re-detected AFTER the installed
         triangulation is a different feature at an unrelated pixel, so
         triangles referencing it are masked until the next install."""
-        vb = np.asarray(self.states.vtx_uv)
-        xb = np.asarray(self.states.vtx_x)
-        gb = np.asarray(self.states.vtx_in_graph)
-        tb = np.asarray(self.states.tris)
-        tvb = np.asarray(self.states.tri_valid)
-        fid = np.asarray(self.states.feat.frame_id)     # [S, N]
-        wm = np.asarray(self.states.topo_frame_id)      # [S]
+        vb = self._pull_rows(self.states.vtx_uv)
+        xb = self._pull_rows(self.states.vtx_x)
+        gb = self._pull_rows(self.states.vtx_in_graph)
+        tb = self._pull_rows(self.states.tris)
+        tvb = self._pull_rows(self.states.tri_valid)
+        fid = self._pull_rows(self.states.feat.frame_id)
+        wm = self._pull_rows(self.states.topo_frame_id)
         out = []
-        for s in range(self.S):
+        for s in sorted(vb):
             v_same = fid[s] <= wm[s]
             tv = tvb[s] & v_same[tb[s]].all(-1)
-            out.append((vb[s][gb[s]], xb[s][gb[s]], tb[s][tv]))
+            g = gb[s].astype(bool)
+            out.append((vb[s][g], xb[s][g], tb[s][tv.astype(bool)]))
         return out
 
 

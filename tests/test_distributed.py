@@ -23,17 +23,19 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_mesh_runs_engine_step():
+def _run_workers(module: str, marker: str, local_devices: int,
+                 extra=()):
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")}
     env["PYTHONPATH"] = REPO  # repo only — drops any remote-TPU plugin
     env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count="
+                        f"{local_devices}")
     procs = [
         subprocess.Popen(
-            [sys.executable, "-m", "flame_ros_tpu.parallel.dist_smoke",
-             str(pid), "2", str(port)],
+            [sys.executable, "-m", module, str(pid), "2", str(port),
+             *extra],
             cwd=REPO, env=env, stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True)
         for pid in range(2)
@@ -49,4 +51,21 @@ def test_two_process_mesh_runs_engine_step():
                 p.kill()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
-        assert f"DIST_OK pid={pid}" in out, out[-3000:]
+        assert f"{marker} pid={pid}" in out, out[-3000:]
+    return outs
+
+
+def test_two_process_mesh_runs_engine_step():
+    _run_workers("flame_ros_tpu.parallel.dist_smoke", "DIST_OK", 4)
+
+
+def test_two_process_end_to_end_runner():
+    """Full MultiStreamRunner across 2 processes for 3 poseframe
+    periods (VERDICT r2 item 2): per-process D2H of local stream
+    shards -> per-process host Delaunay -> cross-process topology
+    install, repeated, with per-stream GT accuracy checked in each
+    process (see parallel/dist_e2e.py)."""
+    outs = _run_workers("flame_ros_tpu.parallel.dist_e2e",
+                        "DIST_E2E_OK", 1, extra=("13",))
+    for out in outs:
+        assert "pf_rounds=3" in out, out[-2000:]
