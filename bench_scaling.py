@@ -228,6 +228,96 @@ def main():
                       "speedup": round(ms1 / msN, 3),
                       "t_agreement": agree}), flush=True)
 
+    # ---- Spatially partitioned NLTGV2 PD (VERDICT r2 item 5): vertical
+    # image strips + one halo exchange per sweep (parallel/spatial_pd.py)
+    # vs the unsharded per-frame sweep, at engine scale (V=2048, E<=6144,
+    # 10 sweeps). Records the profitable/unprofitable verdict against the
+    # feat-axis all-gather negative (SCALING_r02 feat_axis_speedup). ----
+    from flame_ros_tpu.ops import nltgv2 as reg
+    from flame_ros_tpu.parallel import spatial_pd as sp
+    from scipy.spatial import Delaunay
+
+    V = 2048
+    rngp = np.random.default_rng(2)
+    n_live = int(V * 0.85)
+    pts = np.column_stack([rngp.uniform(0, 640, n_live),
+                           rngp.uniform(0, 480, n_live)]).astype(np.float32)
+    dt = Delaunay(pts)
+    es = sorted({(min(int(a), int(b)), max(int(a), int(b)))
+                 for tri in dt.simplices
+                 for a, b in ((tri[0], tri[1]), (tri[1], tri[2]),
+                              (tri[2], tri[0]))})[:3 * V]
+    edges = np.zeros((3 * V, 2), np.int32)
+    ev = np.zeros(3 * V, bool)
+    edges[:len(es)] = es
+    ev[:len(es)] = True
+    uvp_ = np.zeros((V, 2), np.float32)
+    uvp_[:n_live] = pts
+    vvalid = np.arange(V) < n_live
+    inc_e, inc_s, keep = reg.build_incidence(edges, ev, V, max_degree=16)
+    ev = ev & keep
+    z = np.where(vvalid, rngp.uniform(0.2, 2.0, V), 0.0).astype(np.float32)
+    lam = np.where(vvalid, 1.0, 0.0).astype(np.float32)
+
+    top = reg.build_topology(jnp.asarray(edges), jnp.asarray(ev),
+                             jnp.asarray(uvp_),
+                             inc_edges=jnp.asarray(inc_e),
+                             inc_sign=jnp.asarray(inc_s))
+    gs0 = reg.GraphState(x=jnp.asarray(z), w=jnp.zeros((V, 2), jnp.float32),
+                         q=jnp.zeros((3 * V, 3), jnp.float32),
+                         x_bar=jnp.asarray(z),
+                         w_bar=jnp.zeros((V, 2), jnp.float32))
+
+    def run_unsharded():
+        return reg.pd_iterate(gs0, top, jnp.asarray(z), jnp.asarray(lam),
+                              jnp.asarray(vvalid), None, num_iters=10)
+
+    def time_it(fn, pull, n=20):
+        pull(fn())
+        t0 = time.perf_counter()
+        for _ in range(n):
+            r = fn()
+        pull(r)
+        return (time.perf_counter() - t0) / n * 1e3
+
+    ms_un = time_it(run_unsharded, lambda r: np.asarray(r.x).ravel()[:1])
+    n_sp = min(4, n_dev)
+    part = sp.build_spatial_partition(edges, ev, uvp_, vvalid, n_sp)
+    mesh_sp = Mesh(np.asarray(devs[:n_sp]), ("part",))
+    pdev = sp.shard_partition(mesh_sp, part)
+    xw0 = np.zeros((V, 3), np.float32)
+    xw0[:, 0] = z
+    xwp = jax.device_put(
+        jnp.asarray(sp.partition_vertex(part, xw0)),
+        NamedSharding(mesh_sp, P("part", None, None)))
+    qp = jax.device_put(
+        jnp.zeros(part.edge_gid.shape + (3,), jnp.float32),
+        NamedSharding(mesh_sp, P("part", None, None)))
+    zp = jax.device_put(jnp.asarray(sp.partition_vertex(part, z)),
+                        NamedSharding(mesh_sp, P("part", None)))
+    lamp = jax.device_put(jnp.asarray(sp.partition_vertex(part, lam)),
+                          NamedSharding(mesh_sp, P("part", None)))
+    vmp = jax.device_put(jnp.asarray(sp.partition_vertex(part, vvalid)),
+                         NamedSharding(mesh_sp, P("part", None)))
+
+    def run_spatial():
+        return sp.pd_iterate_spatial(mesh_sp, pdev, xwp, qp, zp, lamp,
+                                     vmp, num_iters=10)
+
+    ms_sp = time_it(run_spatial,
+                    lambda r: np.asarray(
+                        r[0].addressable_shards[0].data).ravel()[:1])
+    Hb = part.export_idx.shape[-1]
+    print(json.dumps({"metric": "spatial_pd_ms_1dev", "value": round(ms_un, 2),
+                      "unit": "ms/10 sweeps (V=2048)"}), flush=True)
+    print(json.dumps({"metric": f"spatial_pd_ms_{n_sp}dev",
+                      "value": round(ms_sp, 2),
+                      "unit": "ms/10 sweeps (V=2048)",
+                      "speedup": round(ms_un / ms_sp, 3),
+                      "halo_per_pair": Hb,
+                      "edges_per_part": int(part.edge_gid.shape[1])}),
+          flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,160 @@
+"""Spatially partitioned NLTGV2 PD vs the unsharded sweep (SURVEY §5.7/§5.8).
+
+The spatial path runs the same update arithmetic with the same lane order
+in every reduction; the halo exchange only moves extragradient values
+between parts. Trajectories must agree to XLA FMA-contraction tolerance
+(compiler-fusion ULP noise between two distinct programs, ~1e-8 here).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from flame_ros_tpu.ops import nltgv2 as reg
+from flame_ros_tpu.parallel import spatial_pd as sp
+
+
+def _random_delaunay(V=256, seed=0, w=320, h=240):
+    """A real Delaunay graph over random image points, padded to V slots."""
+    from scipy.spatial import Delaunay
+    rng = np.random.default_rng(seed)
+    n_live = int(V * 0.8)
+    pts = np.column_stack([rng.uniform(0, w, n_live),
+                           rng.uniform(0, h, n_live)]).astype(np.float32)
+    tri = Delaunay(pts)
+    es = set()
+    for t in tri.simplices:
+        for a, b in ((0, 1), (1, 2), (2, 0)):
+            i, j = int(t[a]), int(t[b])
+            es.add((min(i, j), max(i, j)))
+    E_pad = 3 * V
+    edges = np.zeros((E_pad, 2), np.int32)
+    ev = np.zeros(E_pad, bool)
+    es = sorted(es)[:E_pad]
+    edges[:len(es)] = es
+    ev[:len(es)] = True
+    uv = np.zeros((V, 2), np.float32)
+    uv[:n_live] = pts
+    vvalid = np.arange(V) < n_live
+    return edges, ev, uv, vvalid, n_live
+
+
+@pytest.fixture(scope="module")
+def graph():
+    edges, ev, uv, vvalid, n_live = _random_delaunay()
+    V = len(uv)
+    inc_e, inc_s, keep = reg.build_incidence(edges, ev, V, max_degree=16)
+    ev = ev & keep
+    rng = np.random.default_rng(1)
+    z = np.where(vvalid, rng.uniform(0.2, 2.0, V), 0.0).astype(np.float32)
+    lam = np.where(vvalid, 1.0, 0.0).astype(np.float32)
+    return edges, ev, uv, vvalid, inc_e, inc_s, z, lam
+
+
+def _reference_run(graph, num_iters):
+    edges, ev, uv, vvalid, inc_e, inc_s, z, lam = graph
+    top = reg.build_topology(jnp.asarray(edges), jnp.asarray(ev),
+                             jnp.asarray(uv), inc_edges=jnp.asarray(inc_e),
+                             inc_sign=jnp.asarray(inc_s))
+    V, E = len(uv), len(edges)
+    gs = reg.GraphState(x=jnp.asarray(z), w=jnp.zeros((V, 2), jnp.float32),
+                        q=jnp.zeros((E, 3), jnp.float32),
+                        x_bar=jnp.asarray(z),
+                        w_bar=jnp.zeros((V, 2), jnp.float32))
+    out = reg.pd_iterate(gs, top, jnp.asarray(z), jnp.asarray(lam),
+                         jnp.asarray(vvalid), None, num_iters=num_iters)
+    return out
+
+
+@pytest.mark.parametrize("n_parts", [2, 4])
+def test_spatial_pd_bitwise_matches_unsharded(graph, n_parts):
+    edges, ev, uv, vvalid, inc_e, inc_s, z, lam = graph
+    V = len(uv)
+    part = sp.build_spatial_partition(edges, ev, uv, vvalid, n_parts)
+
+    mesh = Mesh(np.asarray(jax.devices()[:n_parts]), ("part",))
+    pdev = sp.shard_partition(mesh, part)
+    xw0 = np.zeros((V, 3), np.float32)
+    xw0[:, 0] = z
+    xwp = jnp.asarray(sp.partition_vertex(part, xw0))
+    qp = jnp.zeros(part.edge_gid.shape + (3,), jnp.float32)
+    zp = jnp.asarray(sp.partition_vertex(part, z))
+    lamp = jnp.asarray(sp.partition_vertex(part, lam))
+    vmp = jnp.asarray(sp.partition_vertex(part, vvalid))
+
+    for iters in (1, 10):
+        ref = _reference_run(graph, iters)
+        xw_s, q_s = sp.pd_iterate_spatial(mesh, pdev, xwp, qp, zp, lamp,
+                                          vmp, num_iters=iters)
+        x_back = np.asarray(sp.unpartition_vertex(part, xw_s))
+        q_back = np.asarray(sp.unpartition_edges(part, q_s, len(edges)))
+        live = np.asarray(vvalid)
+        # Same arithmetic and same reduction lane order; the residual
+        # difference is XLA FMA-contraction variance between the two
+        # compiled programs (measured ~1e-8 worst case here).
+        np.testing.assert_allclose(x_back[live, 0],
+                                   np.asarray(ref.x)[live], atol=1e-6)
+        np.testing.assert_allclose(x_back[live, 1:],
+                                   np.asarray(ref.w)[live], atol=1e-6)
+        el = np.asarray(ev)
+        np.testing.assert_allclose(q_back[el], np.asarray(ref.q)[el],
+                                   atol=1e-6)
+
+
+def test_replicated_boundary_duals_stay_consistent(graph):
+    """Every replica of a boundary edge must hold the same dual after N
+    sweeps (the consistency invariant that lets one exchange per sweep
+    replace a reverse adjoint exchange)."""
+    edges, ev, uv, vvalid, inc_e, inc_s, z, lam = graph
+    V = len(uv)
+    n_parts = 4
+    part = sp.build_spatial_partition(edges, ev, uv, vvalid, n_parts)
+    mesh = Mesh(np.asarray(jax.devices()[:n_parts]), ("part",))
+    pdev = sp.shard_partition(mesh, part)
+    xw0 = np.zeros((V, 3), np.float32)
+    xw0[:, 0] = z
+    xw_s, q_s = sp.pd_iterate_spatial(
+        mesh, pdev, jnp.asarray(sp.partition_vertex(part, xw0)),
+        jnp.zeros(part.edge_gid.shape + (3,), jnp.float32),
+        jnp.asarray(sp.partition_vertex(part, z)),
+        jnp.asarray(sp.partition_vertex(part, lam)),
+        jnp.asarray(sp.partition_vertex(part, vvalid)), num_iters=10)
+    q_np = np.asarray(q_s)
+    gid = part.edge_gid
+    seen = {}
+    n_replicated = 0
+    for p in range(n_parts):
+        for k in range(gid.shape[1]):
+            g = gid[p, k]
+            if g < 0:
+                continue
+            if g in seen:
+                n_replicated += 1
+                np.testing.assert_array_equal(q_np[p, k], seen[g])
+            else:
+                seen[g] = q_np[p, k]
+    assert n_replicated > 0  # strips must actually share boundary edges
+
+
+def test_partition_is_spatially_coherent(graph):
+    """Halo budget must be a small fraction of owned vertices (the point
+    of strips vs lane-arbitrary feat sharding) and every live vertex is
+    owned exactly once."""
+    edges, ev, uv, vvalid, *_ = graph
+    part = sp.build_spatial_partition(edges, ev, uv, vvalid, 4)
+    V = len(uv)
+    assert sorted(part.vtx_order.reshape(-1).tolist()) == list(range(V))
+    Vl = part.vtx_order.shape[1]
+    H = part.export_idx.shape[-1]
+    assert H <= Vl  # halo is a band, not the whole neighbor strip
+    # Interior strips exchange mostly with adjacent strips: the halo
+    # needed from NON-adjacent parts must be (near-)empty.
+    nonadj = 0
+    for s in range(4):
+        for r in range(1, 4):
+            d = (s + r) % 4
+            if abs(d - s) not in (1,):  # ring neighbors in strip order
+                sent = part.export_idx[s, r - 1]
+                nonadj = max(nonadj, int((sent > 0).sum()))
+    assert nonadj <= H // 2
