@@ -753,7 +753,8 @@ class Flame:
                  params: Optional[FlameParams] = None,
                  cam: Optional[Pinhole] = None,
                  deferred_triangulation: bool = False,
-                 tri_backpressure: str = "drop"):
+                 tri_backpressure: str = "drop",
+                 topo_upload: str = "merged"):
         if cam is None:
             if K is None:
                 raise ValueError("provide K or cam")
@@ -780,8 +781,23 @@ class Flame:
         # already smooths over stale topology between poseframes).
         self.deferred_triangulation = deferred_triangulation
         self.tri_backpressure = tri_backpressure  # "drop" | "block"
+        # How a deferred triangulation's packed topology reaches the
+        # device: "merged" appends the int32 buffer (as bytes) to the NEXT
+        # window's packed H2D — literally one transfer per window even
+        # across retriangulations, saving a full link round-trip on
+        # latency-dominated links (measured: transfers through the
+        # tunneled relay SERIALIZE — concurrent device_puts are ~2.6x
+        # slower in aggregate than serial, so fewer transfers is the only
+        # lever). "separate" uploads topology on the worker thread as its
+        # own transfer (fine on local PCIe).
+        self.topo_upload = topo_upload  # "merged" | "separate"
         self._pending_tri = deque()  # in-flight deferred jobs, oldest first
         self._tri_dropped = 0  # retriangulations skipped under link pressure
+        # Occupancy accounting for the sustained-streaming bench: seconds
+        # each pipeline resource was busy (host wall-clock inside the
+        # respective call).
+        self.perf = {"h2d_s": 0.0, "h2d_wait_s": 0.0, "tri_d2h_s": 0.0,
+                     "tri_host_s": 0.0, "dispatch_s": 0.0, "n_uploads": 0}
         # Double-buffered H2D: prefetch_window() packs a future window and
         # starts its upload on this single worker thread so link latency
         # overlaps the in-flight window's compute (high-latency links).
@@ -849,8 +865,10 @@ class Flame:
                     self._pack_segments(
                         [(time, img_id, pose, img_gray, is_pf)],
                         gt[None] if has_gt else None)
-                self._dispatch_packed(jax.device_put(packed), seg_gt,
-                                      first_is_pf, any_pf, B, mid)
+                packed, topo_len = self._merge_ready_topo(packed)
+                self._dispatch_packed(self._timed_put(packed), seg_gt,
+                                      first_is_pf, any_pf, B, mid,
+                                      topo_len=topo_len)
             else:
                 with s.scope("frame_creation"):
                     if img_pyr is not None:
@@ -970,10 +988,15 @@ class Flame:
                         "prefetched windows must be consumed in issue "
                         "order, with no other updates interleaved")
                 self._prefetch_issued.popleft()
-                for fut, gfut, first_is_pf, any_pf, B, mid in prefetched:
-                    self._dispatch_packed(fut.result(),
-                                          gfut.result() if gfut else None,
-                                          first_is_pf, any_pf, B, mid)
+                for (fut, gfut, first_is_pf, any_pf, B, mid,
+                     topo_len) in prefetched:
+                    tw = time_mod.perf_counter()
+                    dev = fut.result()
+                    gdev = gfut.result() if gfut else None
+                    self.perf["h2d_wait_s"] += (time_mod.perf_counter()
+                                                - tw)
+                    self._dispatch_packed(dev, gdev, first_is_pf, any_pf,
+                                          B, mid, topo_len=topo_len)
                 return True
             if self._prefetch_issued:
                 raise RuntimeError(
@@ -983,10 +1006,11 @@ class Flame:
                      if gt_depths is not None else None)
             for packed, seg_gt, first_is_pf, any_pf, B, mid in \
                     self._pack_segments(frames, gt_np):
+                packed, topo_len = self._merge_ready_topo(packed)
                 self._dispatch_packed(
-                    jax.device_put(packed),
+                    self._timed_put(packed),
                     jax.device_put(seg_gt) if seg_gt is not None else None,
-                    first_is_pf, any_pf, B, mid)
+                    first_is_pf, any_pf, B, mid, topo_len=topo_len)
             self._maybe_profile_stages(frames[-1][2], frames[-1][3],
                                        n_frames=len(frames))
             return True
@@ -1020,15 +1044,43 @@ class Flame:
         frames = self._force_first_poseframe(list(frames))
         gt_np = (np.asarray(gt_depths, np.float32)
                  if gt_depths is not None else None)
+        tp = time_mod.perf_counter()
         handle = []
         for packed, seg_gt, first_is_pf, any_pf, B, mid in \
                 self._pack_segments(frames, gt_np):
-            fut = self._h2d_pool.submit(jax.device_put, packed)
+            packed, topo_len = self._merge_ready_topo(packed)
+            fut = self._h2d_pool.submit(self._timed_put, packed)
             gfut = (self._h2d_pool.submit(jax.device_put, seg_gt)
                     if seg_gt is not None else None)
-            handle.append((fut, gfut, first_is_pf, any_pf, B, mid))
+            handle.append((fut, gfut, first_is_pf, any_pf, B, mid,
+                           topo_len))
         self._prefetch_issued.append(handle)
+        self.perf["pack_s"] = (self.perf.get("pack_s", 0.0)
+                               + time_mod.perf_counter() - tp)
         return handle
+
+    def _timed_put(self, buf):
+        """device_put with upload-occupancy accounting (the put blocks
+        for most of the transfer on the tunneled relay)."""
+        t0 = time_mod.perf_counter()
+        out = jax.device_put(buf)
+        self.perf["h2d_s"] += time_mod.perf_counter() - t0
+        self.perf["n_uploads"] += 1
+        return out
+
+    def _merge_ready_topo(self, packed: np.ndarray):
+        """If a deferred triangulation finished, append its packed int32
+        topology (as bytes) to this window's upload. Returns
+        (buffer, topo_len): topo_len == 0 means a plain [B, F] window;
+        otherwise the buffer is flat uint8 [B*F + 4*topo_len] and the
+        dispatch installs the carried topology before the window step."""
+        if (self.topo_upload != "merged" or not self._pending_tri
+                or not self._pending_tri[0].done()):
+            return packed, 0
+        topo = self._pending_tri.popleft().result()
+        flat = np.concatenate([packed.reshape(-1),
+                               topo.view(np.uint8)])
+        return flat, int(topo.shape[0])
 
     def _force_first_poseframe(self, frames):
         if self._num_poseframes == 0 and frames:
@@ -1054,7 +1106,10 @@ class Flame:
                     self._stale_tri_windows += 1
                 return
             self._pending_tri.popleft()
-            self._install_topology(fut.result())
+            buf = fut.result()
+            if isinstance(buf, np.ndarray):  # merged mode holds host bufs
+                buf = jax.device_put(buf)
+            self._install_topology(buf)
             applied = True
 
     def _pack_segments(self, frames, gt_batch):
@@ -1098,14 +1153,29 @@ class Flame:
         return segs
 
     def _dispatch_packed(self, packed_dev, gt_dev, first_is_pf, any_pf, B,
-                         seg_max_id: int = 0):
+                         seg_max_id: int = 0, topo_len: int = 0):
         """Dispatch one packed (already on-device) segment, then
         retriangulate if it contained a poseframe."""
         # Watermark advances at DISPATCH time (prefetched windows pack
         # early; the triangulation watermark must reflect what actually
         # ran).
         self._max_frame_id = max(self._max_frame_id, seg_max_id)
-        self._apply_pending_triangulation(block=False)
+        if topo_len:
+            # The window upload carried a finished triangulation: split
+            # it off on device (bytes -> int32 bitcast, little-endian on
+            # both sides) and install before this window's step.
+            H, W = self.cam.height, self.cam.width
+            F = H * W + META_LEN * 4
+            win = packed_dev[:B * F].reshape(B, F)
+            topo_u8 = packed_dev[B * F:].reshape(topo_len, 4)
+            topo_i32 = jax.lax.bitcast_convert_type(topo_u8, jnp.int32)
+            self._install_topology(topo_i32)
+            packed_dev = win
+        if self.topo_upload == "merged":
+            if self._pending_tri and not topo_len:
+                self._stale_tri_windows += 1
+        else:
+            self._apply_pending_triangulation(block=False)
         has_gt = gt_dev is not None
         if gt_dev is None:
             gt_dev = jnp.zeros((B, self.cam.height, self.cam.width),
@@ -1121,8 +1191,9 @@ class Flame:
             self.state, packed_dev, gt_dev,
             cam=self.cam, params=self.params, has_gt=has_gt,
             first_is_pf=first_is_pf)
-        self.stats_.set_timing(
-            "dispatch", (time_mod.perf_counter() - t0) * 1e3 / max(B, 1))
+        dt = time_mod.perf_counter() - t0
+        self.perf["dispatch_s"] += dt
+        self.stats_.set_timing("dispatch", dt * 1e3 / max(B, 1))
         self._dev_status = statuses[-1]
         self._dev_uv_match = uv_matches[-1]
         self._dev_stats = stats[-1]
@@ -1197,7 +1268,10 @@ class Flame:
                 return
             while len(self._pending_tri) >= _MAX_TRI_INFLIGHT:
                 fut = self._pending_tri.popleft()
-                self._install_topology(fut.result())
+                buf = fut.result()
+                if isinstance(buf, np.ndarray):
+                    buf = jax.device_put(buf)
+                self._install_topology(buf)
         # ONE packed device buffer -> one D2H round-trip on the worker
         # (two separate pulls cost two link RTTs on tunneled backends).
         N = self.params.engine.max_features
@@ -1216,9 +1290,18 @@ class Flame:
         wm = self._max_frame_id
 
         def job():
+            t0 = time_mod.perf_counter()
             buf = np.asarray(buf_h)
-            return jax.device_put(self._build_topology_host(
-                buf[:2 * N].reshape(N, 2), buf[2 * N:] > 0.5, wm))
+            t1 = time_mod.perf_counter()
+            self.perf["tri_d2h_s"] += t1 - t0
+            topo = self._build_topology_host(
+                buf[:2 * N].reshape(N, 2), buf[2 * N:] > 0.5, wm)
+            self.perf["tri_host_s"] += time_mod.perf_counter() - t1
+            if self.topo_upload == "merged":
+                # Host buffer: rides the next window's packed H2D
+                # (_merge_ready_topo) — no separate transfer.
+                return topo
+            return jax.device_put(topo)
 
         self._pending_tri.append(self._tri_pool.submit(job))
 

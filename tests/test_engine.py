@@ -219,6 +219,49 @@ def test_deferred_triangulation(seq):
     assert np.median(err) < 0.03, f"median {np.median(err)}"
 
 
+def test_merged_topology_upload(seq):
+    """topo_upload="merged" (default): a finished deferred triangulation
+    rides the NEXT window's packed H2D as a byte tail — one transfer per
+    window, no separate topology upload — and the installed topology is
+    identical to the separate-upload mode's."""
+    params = _small_params()
+    engines = {}
+    for mode in ("merged", "separate"):
+        eng = Flame(seq.cam.width, seq.cam.height, cam=seq.cam,
+                    params=params, deferred_triangulation=True,
+                    topo_upload=mode)
+        carried = []
+        orig = eng._dispatch_packed
+
+        def spy(*a, _eng=eng, _carried=carried, _orig=orig, **kw):
+            _carried.append(kw.get("topo_len", 0))
+            return _orig(*a, **kw)
+        eng._dispatch_packed = spy
+        for w in range(3):
+            frames = [(seq.timestamps[i], i,
+                       SE3(seq.poses.q[i], seq.poses.t[i]),
+                       seq.images[i], i % 6 == 0)
+                      for i in range(6 * w, 6 * w + 6)]
+            assert eng.update_window(frames)
+            # Let the tri worker finish so the next pack can merge it.
+            if eng._pending_tri:
+                eng._pending_tri[0].result()
+        engines[mode] = (eng, carried)
+    eng_m, carried_m = engines["merged"]
+    eng_s, carried_s = engines["separate"]
+    assert sum(1 for t in carried_m if t > 0) >= 2  # topologies rode windows
+    assert all(t == 0 for t in carried_s)           # separate never merges
+    # Same installed topology state on both paths.
+    np.testing.assert_array_equal(np.asarray(eng_m.state.tris),
+                                  np.asarray(eng_s.state.tris))
+    np.testing.assert_array_equal(np.asarray(eng_m.state.edge_valid),
+                                  np.asarray(eng_s.state.edge_valid))
+    assert int(eng_m.state.topo_frame_id) == int(eng_s.state.topo_frame_id)
+    est, gt, m = _dense_err(eng_m, seq, 17)
+    err = np.abs(est - gt)[m]
+    assert np.median(err) < 0.03, f"median {np.median(err)}"
+
+
 def test_deferred_triangulation_pipeline(seq):
     """The deferred-triangulation pipeline is bounded (<= 2 jobs in
     flight), installs every built topology in issue order, and drains
