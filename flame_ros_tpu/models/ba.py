@@ -236,16 +236,33 @@ def bundle_adjust_window_sharded(mesh, kf_pyrs, kf_q, kf_t, kf_valid,
 
     P must divide by the axis size (pad with point_valid=False lanes).
     """
+    if uv_obs is not None and obs_valid is None:
+        obs_valid = jnp.ones(uv_obs.shape[:2], bool)
+    return _ba_window_sharded(
+        mesh, kf_pyrs, kf_q, kf_t, kf_valid, uv_ref, idepth0, point_valid,
+        uv_obs, obs_valid, axis=axis, has_obs=uv_obs is not None,
+        **ba_kwargs)
+
+
+@partial(jax.jit,
+         static_argnames=("mesh", "axis", "has_obs", "ref_index", "cam",
+                          "num_iters", "coarse_iters", "level",
+                          "huber_delta", "depth_prior_weight", "damping",
+                          "optimize_poses", "estimate_affine",
+                          "gradient_weight", "reproj_weight"))
+def _ba_window_sharded(mesh, kf_pyrs, kf_q, kf_t, kf_valid, uv_ref,
+                       idepth0, point_valid, uv_obs, obs_valid, *,
+                       axis: str, has_obs: bool, **ba_kwargs):
+    """Cached jit around the shard_map (a bare shard_map over a fresh
+    closure re-traces and re-compiles EVERY call — measured seconds per
+    solve; under jit the whole sharded program caches like any other)."""
     from jax.sharding import PartitionSpec as P_
 
     pt = P_(axis)
     rep = P_()
     out_specs = BAResult(q=rep, t=rep, idepths=pt, final_cost=rep,
                          n_valid=rep, gains=rep, offsets=rep)
-    if uv_obs is not None:
-        if obs_valid is None:
-            obs_valid = jnp.ones(uv_obs.shape[:2], bool)
-
+    if has_obs:
         def fn(pyrs, q, t, kv, uv, d0, pv, uo, ov):
             return bundle_adjust_window(
                 pyrs, q, t, kv, uv, d0, pv, uv_obs=uo, obs_valid=ov,
