@@ -162,6 +162,13 @@ class EngineParams:
     # lanes on v5e with no accuracy change on the synthetic GT suite.
     num_search_samples: int = 16
     pd_iters_per_frame: int = 10  # NLTGV2 primal-dual sweeps per frame.
+    # Convergence gate for the per-frame sweeps: > 0 exits the sweep
+    # loop once max |x change| per sweep falls below this (the engine
+    # warm-starts from the previous frame, so steady-state frames
+    # converge in 1-2 sweeps). 0 = fixed pd_iters_per_frame sweeps
+    # (unrolled — the current product default; see BENCH_NOTES round 3
+    # for the measured trade).
+    pd_gate_tol: float = 0.0
     sigma_window: float = 2.0    # Search range = mu +/- sigma_window * sigma.
     idepth_min: float = 1e-3     # Global inverse-depth search bounds.
     idepth_max: float = 4.0

@@ -522,7 +522,8 @@ def _smooth_step(state: EngineState, img_pyr, cur_q, cur_t, track_counts,
         gs = reg_ops.pd_iterate(
             gs, top, state.vtx_z, lam, state.vtx_in_graph, gcat,
             num_iters=eng.pd_iters_per_frame,
-            step_x=nl.step_x, step_q=nl.step_q, theta=nl.theta)
+            step_x=nl.step_x, step_q=nl.step_q, theta=nl.theta,
+            gate_tol=eng.pd_gate_tol)
         costs = reg_ops.nltgv2_costs(gs, top, state.vtx_z, lam,
                                      state.vtx_in_graph)
         vtx_x, vtx_w, edge_q = gs.x, gs.w, gs.q

@@ -210,12 +210,13 @@ def _precond_steps(top: GraphTopology, num_vertices: int):
     return sigma, tau_x, tau_w
 
 
-@partial(jax.jit, static_argnames=("num_iters", "precondition"))
+@partial(jax.jit, static_argnames=("num_iters", "precondition",
+                                   "gate_tol"))
 def pd_iterate(state: GraphState, top: GraphTopology, z, lam, vtx_valid,
                gcat=None, *, num_iters: int = 10, step_x: float = 0.001,
                step_q: float = 125.0, theta: float = 1.0,
-               precondition: bool = True):
-    """Run `num_iters` primal-dual sweeps.
+               precondition: bool = True, gate_tol: float = 0.0):
+    """Run up to `num_iters` primal-dual sweeps.
 
     z: [V] measured inverse depths (data term anchors);
     lam: [V] per-vertex data weights (lambda_i, already includes
@@ -226,7 +227,17 @@ def pd_iterate(state: GraphState, top: GraphTopology, z, lam, vtx_valid,
     the incidence gather (the TPU product path; edge contributions round
     to bf16, a ~4e-4 absolute perturbation of the converged primal,
     measured well under the filter/measurement noise floor).
-    """
+
+    gate_tol > 0 enables CONVERGENCE-GATED sweeps (packed incidence path
+    only — the product path): the loop exits early once the sweep's max
+    primal-x change falls below gate_tol. The engine warm-starts x/w/q
+    from the previous frame, so steady-state frames between poseframes
+    are typically 1-2 sweeps from their fixed point and the remaining
+    sweeps are pure waste. Trade-off: a while-loop cannot unroll (each
+    sweep becomes an XLA loop barrier) and pays one [V] reduction per
+    sweep — profitable only when the expected sweep count is well below
+    num_iters; measured on-chip before being made a default
+    (BENCH_NOTES round 3)."""
     V = state.x.shape[0]
     if precondition:
         sigma, tau_x, tau_w = _precond_steps(top, V)
@@ -301,6 +312,23 @@ def pd_iterate(state: GraphState, top: GraphTopology, z, lam, vtx_valid,
             xw_new = vm3 * xw_new + (1 - vm3) * xw
             xwb = xw_new + theta * (xw_new - xw)
             return (xw_new, xwb, q)
+
+        if gate_tol > 0.0:
+            def cond(carry):
+                k, xw, xwb, q, delta = carry
+                return (k < num_iters) & (delta > gate_tol)
+
+            def wbody(carry):
+                k, xw, xwb, q, _ = carry
+                xw_new, xwb, q = body(None, (xw, xwb, q))
+                delta = jnp.max(jnp.abs(xw_new[:, 0] - xw[:, 0]))
+                return (k + 1, xw_new, xwb, q, delta)
+
+            _, xw, xwb, q, _ = jax.lax.while_loop(
+                cond, wbody, (jnp.int32(0), xw0, xwb0, state.q,
+                              jnp.float32(jnp.inf)))
+            return GraphState(x=xw[:, 0], w=xw[:, 1:], q=q,
+                              x_bar=xwb[:, 0], w_bar=xwb[:, 1:])
 
         # Unrolled sweeps (capped: tests run hundreds of iterations):
         # each fori_loop iteration is an XLA while-loop barrier that

@@ -233,3 +233,43 @@ def test_graph_lowpass(rng):
     far = np.setdiff1d(np.arange(V), np.concatenate(
         [[7], edges[np.any(edges == 7, 1)].ravel()]))
     np.testing.assert_allclose(out[far], 0.3, atol=1e-5)
+
+
+def test_convergence_gated_sweeps(rng):
+    """gate_tol > 0 (packed path): a tight tolerance reproduces the full
+    fixed-sweep result; a practical tolerance reaches the same energy
+    basin from a warm start — the steady-state case the gate exists for."""
+    from flame_ros_tpu.ops.nltgv2 import build_incidence
+
+    pts, edges = _grid_graph(rng)
+    V = len(pts)
+    E = 2048
+    e, ev = _pad_edges(edges, E)
+    inc_e, inc_s, keep = build_incidence(np.asarray(e), np.asarray(ev), V)
+    ev = ev & jnp.asarray(keep)
+    top = build_topology(e, ev, jnp.asarray(pts),
+                         inc_edges=jnp.asarray(inc_e),
+                         inc_sign=jnp.asarray(inc_s))
+    z = rng.uniform(0.2, 1.5, V).astype(np.float32)
+    lam = jnp.ones(V)
+    valid = jnp.ones(V, bool)
+
+    def fresh():
+        return GraphState(x=jnp.asarray(z), w=jnp.zeros((V, 2)),
+                          q=jnp.zeros((E, 3)), x_bar=jnp.asarray(z),
+                          w_bar=jnp.zeros((V, 2)))
+
+    full = pd_iterate(fresh(), top, z, lam, valid, num_iters=40)
+    tight = pd_iterate(fresh(), top, z, lam, valid, num_iters=40,
+                       gate_tol=1e-12)  # never triggers -> same sweeps
+    np.testing.assert_allclose(np.asarray(tight.x), np.asarray(full.x),
+                               atol=1e-6)
+
+    # Warm start at the converged iterate: the gate must exit early and
+    # stay at the fixed point (x unchanged beyond the tolerance scale).
+    warm = pd_iterate(full, top, z, lam, valid, num_iters=40,
+                      gate_tol=1e-4)
+    assert float(jnp.abs(warm.x - full.x).max()) < 5e-3
+    e_full = _energy(full, top, z, lam, valid)
+    e_warm = _energy(warm, top, z, lam, valid)
+    assert e_warm <= e_full * 1.01 + 1e-3
