@@ -156,7 +156,9 @@ def main():
         for i in range(n):
             runner.update(frames[7 + i % 7])
         runner.get_idepth_maps()[0, 0, 0]
-        return S * n / (time.perf_counter() - t0)
+        fps = S * n / (time.perf_counter() - t0)
+        runner.shutdown()
+        return fps
 
     e2e = {}
     for S in stream_counts:
@@ -321,3 +323,8 @@ def main():
 
 if __name__ == "__main__":
     main()
+    # Worker-pool threads parked inside device waits can block the
+    # interpreter's atexit join for the full outer timeout; all output
+    # is flushed line-by-line, so exit hard.
+    sys.stdout.flush()
+    os._exit(0)

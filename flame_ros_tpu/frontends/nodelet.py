@@ -152,6 +152,10 @@ class FlameNodelet:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout)
+        # Join the engine's worker pools too (reference: the nodelet's
+        # destructor joins its processing thread, flame_nodelet.cc:406).
+        if getattr(self, "engine", None) is not None:
+            self.engine.shutdown()
 
     def run_until_idle(self, idle_timeout: float = 0.25):
         """Synchronous drain (for tests/batch use): process queued frames

@@ -824,6 +824,20 @@ class Flame:
         # Debug-rate stage profiling (reference 13-stage vocabulary).
         self._frames_since_profile = 0
 
+    def shutdown(self):
+        """Tear down worker pools and abandon in-flight jobs (reference
+        analog: FlameNodelet joins its processing thread on destruction).
+        Prefetched windows and pending triangulations are dropped —
+        callers that need them must consume/drain first. Safe to call
+        twice; the engine remains usable (pools lazily recreate)."""
+        self._prefetch_issued.clear()
+        self._pending_tri.clear()
+        for attr in ("_h2d_pool", "_tri_pool"):
+            pool = getattr(self, attr)
+            if pool is not None:
+                pool.shutdown(wait=False, cancel_futures=True)
+                setattr(self, attr, None)
+
     # -- main entry ------------------------------------------------------
     def update(self, time: float, img_id: int, pose: SE3,
                img_gray: np.ndarray, is_poseframe: bool,

@@ -64,16 +64,6 @@ def main(pid: int, nproc: int, port: int, n_frames: int = 13,
     # Stream s runs s frames behind -> genuinely different per-host state.
     for i in range(n_frames):
         runner.update([frame(max(i - s, 0)) for s in range(nproc)])
-    if bench:
-        runner.get_idepth_maps()
-        t0 = time.perf_counter()
-        n_bench = 24
-        for i in range(n_bench):
-            runner.update([frame(max((i % 13) - s, 0))
-                           for s in range(nproc)])
-        runner.get_idepth_maps()
-        fps = nproc * n_bench / (time.perf_counter() - t0)
-        print(f"DIST_E2E_FPS pid={pid} fps={fps:.2f}", flush=True)
 
     local = runner.local_streams()
     assert local == [pid], (local, pid)  # one stream per process
@@ -98,6 +88,21 @@ def main(pid: int, nproc: int, port: int, n_frames: int = 13,
     print(f"DIST_E2E_OK pid={pid} nproc={nproc} frames={n_frames} "
           f"pf_rounds={(n_frames + 5) // 6} cov={m.mean():.3f} "
           f"med_err={med:.4f} tris={len(tris)}", flush=True)
+
+    if bench:
+        # Timed AFTER the accuracy checks: the wrap-around replay below
+        # teleports poses every cycle (throughput load, not a tracking
+        # scenario), so it must not feed the GT assertions above.
+        runner.get_idepth_maps()
+        t0 = time.perf_counter()
+        n_bench = 24
+        for i in range(n_bench):
+            runner.update([frame(max((i % 13) - s, 0))
+                           for s in range(nproc)])
+        runner.get_idepth_maps()
+        fps = nproc * n_bench / (time.perf_counter() - t0)
+        print(f"DIST_E2E_FPS pid={pid} fps={fps:.2f}", flush=True)
+    runner.shutdown()
 
 
 if __name__ == "__main__":

@@ -326,6 +326,15 @@ class MultiStreamRunner:
         while self._pending_topo:
             self._install_topologies(self._pending_topo.popleft().result())
 
+    def shutdown(self):
+        """Tear down the worker pool and abandon in-flight topology jobs
+        (drain_topologies first if they must land). Safe to call twice;
+        the runner remains usable (the pool lazily recreates)."""
+        self._pending_topo.clear()
+        if self._tri_pool is not None:
+            self._tri_pool.shutdown(wait=False, cancel_futures=True)
+            self._tri_pool = None
+
     def _ensure_pool(self):
         if self._tri_pool is None:
             from concurrent.futures import ThreadPoolExecutor

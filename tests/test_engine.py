@@ -483,3 +483,27 @@ def test_bfloat16_gathers_match_accuracy(seq):
     err = np.abs(est - gt)[m]
     assert np.median(err) < 0.02, f"median dense idepth err {np.median(err)}"
     assert (err < 0.1).mean() > 0.85
+
+
+def test_shutdown_lifecycle(seq):
+    """shutdown() joins the worker pools, drops in-flight work, and the
+    engine stays usable afterwards (pools recreate lazily)."""
+    params = _small_params()
+    eng = Flame(seq.cam.width, seq.cam.height, cam=seq.cam, params=params,
+                deferred_triangulation=True)
+    frames = [(seq.timestamps[i], i, SE3(seq.poses.q[i], seq.poses.t[i]),
+               seq.images[i], i % 6 == 0) for i in range(6)]
+    assert eng.update_window(frames)
+    h = eng.prefetch_window([(seq.timestamps[i], 6 + i,
+                              SE3(seq.poses.q[i], seq.poses.t[i]),
+                              seq.images[i], i == 0) for i in range(6)])
+    assert h is not None
+    eng.shutdown()
+    assert not eng._prefetch_issued and not eng._pending_tri
+    assert eng._h2d_pool is None and eng._tri_pool is None
+    # Still usable: a fresh window processes fine.
+    frames2 = [(seq.timestamps[i], 12 + i,
+                SE3(seq.poses.q[i], seq.poses.t[i]),
+                seq.images[i], i == 0) for i in range(6)]
+    assert eng.update_window(frames2)
+    eng.shutdown()  # idempotent
