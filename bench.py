@@ -29,13 +29,19 @@ def main():
     n_render = 30
     seq = make_sequence(n_frames=n_render, cam=VGA, motion="strafe")
     images_u8 = [np.clip(im, 0, 255).astype(np.uint8) for im in seq.images]
+    # HOST poses: a pose held as a device array costs one link RTT per
+    # frame in the ingest gate / meta packing (np.asarray pulls it) —
+    # measured ~400 ms/window through the relay, the round-2 e2e-fps
+    # mystery. Live streams deliver host poses; the bench must too.
+    pose_q = [np.asarray(q) for q in seq.poses.q]
+    pose_t = [np.asarray(t) for t in seq.poses.t]
     # Prefer the hand-scheduled Pallas rasterizer on TPU; fall back to the
     # XLA formulation if the kernel fails to compile on this backend.
     try:
         params = FlameParams.from_dict(
             {"engine": {"use_pallas_raster": True}})
         engine = Flame(VGA.width, VGA.height, cam=VGA, params=params)
-        engine.update(0.0, 0, SE3(seq.poses.q[0], seq.poses.t[0]),
+        engine.update(0.0, 0, SE3(pose_q[0], pose_t[0]),
                       images_u8[0], True)
         np.asarray(engine.state.vtx_x[:1])
     except Exception:
@@ -46,7 +52,7 @@ def main():
     def frame(i):
         j = i % n_render
         return (seq.timestamps[j] + (i // n_render), i,
-                SE3(seq.poses.q[j], seq.poses.t[j]), images_u8[j])
+                SE3(pose_q[j], pose_t[j]), images_u8[j])
 
     # Window batching: a poseframe-aligned window ships in ONE packed H2D
     # and runs as ONE device dispatch, amortizing transfer latency over
@@ -164,6 +170,14 @@ def main():
         pending = [engine.prefetch_window(window(s + d * win_size))
                    for d in range(depth)]
         s += depth * win_size
+        # Bounded in-flight: before enqueueing window w, force window
+        # w-max_inflight to COMPLETE (4-byte probe pull). A free-running
+        # enqueue loop posts hundreds of windows the device hasn't
+        # computed, every triangulation drops, and the "fps" is a
+        # stale-topology fiction with unbounded latency. The probe costs
+        # one link RTT per window — part of honest streaming.
+        max_inflight = 4
+        done_probe = []
         n_frames = 0
         t0 = time.perf_counter()
         while time.perf_counter() - t0 < seconds:
@@ -171,6 +185,9 @@ def main():
             pending.append(engine.prefetch_window(window(s)))
             s += win_size
             engine.update_window(prefetched=pre)
+            done_probe.append(engine.state.vtx_x)
+            if len(done_probe) > max_inflight:
+                np.asarray(done_probe.pop(0)[:1])
             n_frames += win_size
         for pre in pending:  # consume outstanding uploads (untimed tail
             engine.update_window(prefetched=pre)   # work is excluded)

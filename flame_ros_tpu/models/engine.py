@@ -711,7 +711,13 @@ def _frame_input_ok(pose: SE3, gray: np.ndarray) -> bool:
     """Host-side input gate (cheap: 7 floats + one vectorized isfinite):
     garbage poses/images are rejected before they ever ship to the device
     (reference: tf lookup failures and bad frames drop the frame,
-    tracked_image_stream.cc:182-185)."""
+    tracked_image_stream.cc:182-185).
+
+    Callers must pass HOST poses: a pose held as a device array makes
+    the np.asarray here a D2H pull — one full link RTT per frame on a
+    tunneled backend (measured ~400 ms per 6-frame window; the round-2
+    e2e-throughput mystery). Live streams produce host poses naturally;
+    benches must convert up front."""
     q = np.asarray(pose.q, np.float64)
     t = np.asarray(pose.t, np.float64)
     if not (np.all(np.isfinite(q)) and np.all(np.isfinite(t))):
@@ -1217,11 +1223,14 @@ class Flame:
         self._host_status = None
         self._frame_count += B
         if any_pf:
+            t1 = time_mod.perf_counter()
             with self.stats_.scope("triangulate"):
                 if self.deferred_triangulation:
                     self._schedule_triangulation()
                 else:
                     self._retriangulate()
+            self.perf["tri_sched_s"] = (self.perf.get("tri_sched_s", 0.0)
+                                        + time_mod.perf_counter() - t1)
 
     def flush_window_stats(self) -> list:
         """Pull per-frame stats for the whole last window in ONE D2H."""

@@ -84,6 +84,11 @@ def main():
     n_seq = 30
     seq = make_sequence(n_frames=n_seq, cam=VGA, motion="strafe")
     imgs = [np.clip(im, 0, 255).astype(np.uint8) for im in seq.images]
+    # Host poses: device-array poses cost one link RTT per frame in the
+    # ingest gate / meta packing (see bench.py; measured ~400 ms/window).
+    import dataclasses as _dcp
+    seq = _dcp.replace(seq, poses=SE3(np.asarray(seq.poses.q),
+                                      np.asarray(seq.poses.t)))
     params = FlameParams().resolved(jax.default_backend())
     engine = Flame(VGA.width, VGA.height, cam=VGA, params=params)
     t_setup0 = time.perf_counter()
