@@ -165,10 +165,11 @@ class EngineParams:
     # Convergence gate for the per-frame sweeps: > 0 exits the sweep
     # loop once max |x change| per sweep falls below this (the engine
     # warm-starts from the previous frame, so steady-state frames
-    # converge in 1-2 sweeps). 0 = fixed pd_iters_per_frame sweeps
-    # (unrolled — the current product default; see BENCH_NOTES round 3
-    # for the measured trade).
-    pd_gate_tol: float = 0.0
+    # converge in 1-2 sweeps). Default 1e-4 idepth units — measured
+    # accuracy-IDENTICAL on the VGA acceptance run and ~0.3 ms/frame
+    # faster on v5e (6.49 -> 6.14, twice reproduced; BENCH_NOTES
+    # round 3). 0 = fixed pd_iters_per_frame unrolled sweeps.
+    pd_gate_tol: float = 1e-4
     sigma_window: float = 2.0    # Search range = mu +/- sigma_window * sigma.
     idepth_min: float = 1e-3     # Global inverse-depth search bounds.
     idepth_max: float = 4.0

@@ -514,8 +514,11 @@ def _smooth_step(state: EngineState, img_pyr, cur_q, cur_t, track_counts,
         gs = reg_ops.GraphState(x=vtx_x, w=vtx_w, q=edge_q,
                                 x_bar=vtx_x, w_bar=vtx_w)
         # MXU adjoint (TPU default): K^T as one matmul per sweep against
-        # the incidence matrix. Built per frame from the (window-constant)
-        # edge set — XLA CSEs the identical builds across a window.
+        # the incidence matrix. Built per frame from the current edge
+        # set; hoisting it to install time in EngineState was measured a
+        # NO-OP on v5e (chain 6.49 vs 6.48 ms/frame — the scatter build
+        # is bandwidth-trivial) while costing [N, 2E] bf16 of state, so
+        # the per-frame build stays (BENCH_NOTES round 3).
         gcat = (reg_ops.build_gcat(state.edges, edge_fresh,
                                    state.vtx_x.shape[0])
                 if eng.nltgv2_adjoint == "matmul" else None)
@@ -1529,7 +1532,15 @@ class Flame:
         arrays, so a single NPZ captures everything."""
         self._apply_pending_triangulation()  # drain deferred topology
         leaves, treedef = jax.tree.flatten(self.state)
-        arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+        arrays = {}
+        bf16 = []
+        for i, x in enumerate(leaves):
+            a = np.asarray(x)
+            if a.dtype == jnp.bfloat16:  # NPZ has no bf16: store bits
+                a = a.view(np.uint16)
+                bf16.append(i)
+            arrays[f"leaf_{i}"] = a
+        arrays["__bf16__"] = np.asarray(bf16, np.int32)
         arrays["__host__"] = np.array([
             self._num_poseframes, self._frame_count, self._kf_slot])
         import json
@@ -1542,9 +1553,12 @@ class Flame:
         be constructed with the same capacity params (shape-checked)."""
         data = np.load(path)
         leaves, treedef = jax.tree.flatten(self.state)
+        bf16 = set(data["__bf16__"].tolist()) if "__bf16__" in data else set()
         new_leaves = []
         for i, old in enumerate(leaves):
             arr = data[f"leaf_{i}"]
+            if i in bf16:
+                arr = arr.view(jnp.bfloat16)
             if arr.shape != old.shape:
                 raise ValueError(
                     f"checkpoint shape mismatch at leaf {i}: "
