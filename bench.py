@@ -229,13 +229,20 @@ def main():
                           "unit": "frames/s/chip",
                           "vs_baseline": 0.0, "error": "no mode completed"}))
         return
-    fps = results.get("dev", max(results.values()))
+    best_key = max(results, key=results.get)
+    fps = results[best_key]
     e2e = {k: v for k, v in results.items() if k != "dev"}
+    unit = ("frames/s/chip (device-side, uploads prestaged)"
+            if best_key == "dev" else
+            "frames/s/chip (END-TO-END through the relay link, mode "
+            f"{best_key}: packed uploads + async dispatch + deferred "
+            "triangulation)")
     print(json.dumps({
-        "metric": "engine_fps_vga_device",
+        "metric": "engine_fps_vga",
         "value": round(fps, 2),
-        "unit": "frames/s/chip (device-side, uploads prestaged)",
+        "unit": unit,
         "vs_baseline": round(fps / 30.0, 3),
+        "device_side_fps": round(results.get("dev", 0.0), 2),
         "e2e_fps_via_relay": {str(k): round(v, 2) for k, v in e2e.items()},
         "sustained_e2e": sustained,
         "h2d_ms_per_window": h2d_ms,
