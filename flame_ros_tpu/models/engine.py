@@ -801,6 +801,11 @@ class Flame:
         # lever). "separate" uploads topology on the worker thread as its
         # own transfer (fine on local PCIe).
         self.topo_upload = topo_upload  # "merged" | "separate"
+        # Split poseframe windows into [pf] + [rest] dispatches so the
+        # deferred triangulation snapshot completes after one frame of
+        # compute (see _dispatch_packed). Only meaningful (and only on)
+        # when triangulation is deferred.
+        self.split_pf_dispatch = deferred_triangulation
         self._pending_tri = deque()  # in-flight deferred jobs, oldest first
         self._tri_dropped = 0  # retriangulations skipped under link pressure
         # Occupancy accounting for the sustained-streaming bench: seconds
@@ -1211,10 +1216,37 @@ class Flame:
         # The full 13-key device breakdown remains the sampled stage
         # profiler's job (utils/stage_profiler.py).
         t0 = time_mod.perf_counter()
-        (self.state, statuses, uv_matches, stats, dets) = _window_step(
-            self.state, packed_dev, gt_dev,
-            cam=self.cam, params=self.params, has_gt=has_gt,
-            first_is_pf=first_is_pf)
+        split = (any_pf and first_is_pf and B > 1
+                 and self.split_pf_dispatch)
+        if split:
+            # Split poseframe windows into [pf frame] + [rest]: the
+            # deferred triangulation's D2H snapshot then only waits for
+            # ONE frame of compute instead of the whole window — on a
+            # high-latency link the tri round-trip is the sustained-
+            # streaming binding constraint (occupancy 0.41-0.46,
+            # BENCH_NOTES round 3). Also a semantic improvement: the
+            # snapshot captures vertex positions AT the poseframe (the
+            # frame the graph belongs to, reference poseframe semantics
+            # src/flame_nodelet.cc:632-633) instead of wherever they
+            # projected to by window end.
+            (self.state, st1, uv1, stats1, dets1) = _window_step(
+                self.state, packed_dev[:1], gt_dev[:1],
+                cam=self.cam, params=self.params, has_gt=has_gt,
+                first_is_pf=True)
+            with self.stats_.scope("triangulate"):
+                self._schedule_triangulation()
+            (self.state, statuses, uv_matches, stats2, dets) = \
+                _window_step(
+                    self.state, packed_dev[1:], gt_dev[1:],
+                    cam=self.cam, params=self.params, has_gt=has_gt,
+                    first_is_pf=False)
+            stats = jnp.concatenate([stats1, stats2], axis=0)
+        else:
+            (self.state, statuses, uv_matches, stats, dets) = \
+                _window_step(
+                    self.state, packed_dev, gt_dev,
+                    cam=self.cam, params=self.params, has_gt=has_gt,
+                    first_is_pf=first_is_pf)
         dt = time_mod.perf_counter() - t0
         self.perf["dispatch_s"] += dt
         self.stats_.set_timing("dispatch", dt * 1e3 / max(B, 1))
@@ -1225,7 +1257,7 @@ class Flame:
         self._dev_detections = (dets[0][-1], dets[1][-1])
         self._host_status = None
         self._frame_count += B
-        if any_pf:
+        if any_pf and not split:
             t1 = time_mod.perf_counter()
             with self.stats_.scope("triangulate"):
                 if self.deferred_triangulation:

@@ -507,3 +507,32 @@ def test_shutdown_lifecycle(seq):
                 seq.images[i], i == 0) for i in range(6)]
     assert eng.update_window(frames2)
     eng.shutdown()  # idempotent
+
+
+def test_split_pf_dispatch_quality(seq):
+    """Splitting a poseframe window into [pf] + [rest] dispatches (the
+    deferred-triangulation default) snapshots the triangulation's vertex
+    positions AT the poseframe (closer to reference semantics — the
+    graph belongs to the poseframe, src/flame_nodelet.cc:632) instead of
+    at window end, so states are not bitwise comparable; both modes must
+    meet the same dense-quality bar and install every topology."""
+    params = _small_params()
+    for split in (True, False):
+        eng = Flame(seq.cam.width, seq.cam.height, cam=seq.cam,
+                    params=params, deferred_triangulation=True)
+        eng.split_pf_dispatch = split
+        for w in range(3):
+            frames = [(seq.timestamps[i], i,
+                       SE3(seq.poses.q[i], seq.poses.t[i]),
+                       seq.images[i], i % 6 == 0)
+                      for i in range(6 * w, 6 * w + 6)]
+            assert eng.update_window(frames)
+            if eng._pending_tri:  # let the job land before the next pack
+                eng._pending_tri[0].result()
+        recs = eng.flush_window_stats()
+        assert len(recs) == 6
+        est, gt, m = _dense_err(eng, seq, 17)
+        assert m.mean() > 0.3, (split, m.mean())
+        err = np.abs(est - gt)[m]
+        assert np.median(err) < 0.03, (split, np.median(err))
+        assert int(np.asarray(eng.state.tri_valid).sum()) > 100
