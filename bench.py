@@ -189,8 +189,9 @@ def main():
             if len(done_probe) > max_inflight:
                 np.asarray(done_probe.pop(0)[:1])
             n_frames += win_size
-        for pre in pending:  # consume outstanding uploads (untimed tail
-            engine.update_window(prefetched=pre)   # work is excluded)
+        for pre in pending:  # drain outstanding uploads; these frames
+            engine.update_window(prefetched=pre)   # complete within the
+            n_frames += win_size                   # wall, so count them
         np.asarray(engine.state.vtx_x[:1])
         wall = time.perf_counter() - t0
         occ = {k[:-2] + "_occ": round(v / wall, 3)
@@ -208,8 +209,9 @@ def main():
     sustained = None
     try:
         sustained = run_sustained()
-    except Exception:
-        engine._prefetch_issued.clear()
+    except Exception as e:
+        print(f"sustained mode failed: {e!r}", file=sys.stderr)
+        engine.shutdown()  # drop in-flight uploads/topologies cleanly
     try:
         results["dev"], h2d_s, rtt_s = run_device_mode(240)
         h2d_ms = round(h2d_s * 1e3, 1)

@@ -216,7 +216,9 @@ def main():
 
     ms1, r1 = time_ba(lambda: bundle_adjust_window(
         pyrs, bq, bt, jnp.ones(K, bool), jnp.asarray(uv), d0, pv, **kw))
-    n_ba = min(4, n_dev)
+    # Largest power of two <= n_dev (<= 4): the point/vertex counts are
+    # powers of two, so a 3-device mesh would fail the shard divide.
+    n_ba = 1 << (min(4, n_dev).bit_length() - 1)
     mesh_ba = Mesh(np.asarray(devs[:n_ba]), ("feat",))
     msN, rN = time_ba(lambda: bundle_adjust_window_sharded(
         mesh_ba, pyrs, bq, bt, jnp.ones(K, bool), jnp.asarray(uv), d0,
@@ -283,7 +285,7 @@ def main():
         return (time.perf_counter() - t0) / n * 1e3
 
     ms_un = time_it(run_unsharded, lambda r: np.asarray(r.x).ravel()[:1])
-    n_sp = min(4, n_dev)
+    n_sp = 1 << (min(4, n_dev).bit_length() - 1)
     part = sp.build_spatial_partition(edges, ev, uvp_, vvalid, n_sp)
     mesh_sp = Mesh(np.asarray(devs[:n_sp]), ("part",))
     pdev = sp.shard_partition(mesh_sp, part)

@@ -1233,8 +1233,11 @@ class Flame:
                 self.state, packed_dev[:1], gt_dev[:1],
                 cam=self.cam, params=self.params, has_gt=has_gt,
                 first_is_pf=True)
+            ts = time_mod.perf_counter()
             with self.stats_.scope("triangulate"):
                 self._schedule_triangulation()
+            self.perf["tri_sched_s"] = (self.perf.get("tri_sched_s", 0.0)
+                                        + time_mod.perf_counter() - ts)
             (self.state, statuses, uv_matches, stats2, dets) = \
                 _window_step(
                     self.state, packed_dev[1:], gt_dev[1:],

@@ -53,7 +53,11 @@ def main(pid: int, nproc: int, port: int, n_frames: int = 13,
         "input": {"poseframe_subsample_factor": 6},
     })
     seq = make_sequence(n_frames=14, cam=QVGA, motion="strafe")
-    runner = ms.MultiStreamRunner(QVGA, nproc, params=params, mesh=mesh)
+    # deferred=True exercises the DETERMINISTIC multi-controller install
+    # path (counter-gated blocking installs — per-process done() polling
+    # would diverge the collective order across processes).
+    runner = ms.MultiStreamRunner(QVGA, nproc, params=params, mesh=mesh,
+                                  deferred_triangulation=True)
     assert runner.multiprocess
 
     def frame(i):

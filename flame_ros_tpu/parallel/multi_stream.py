@@ -223,6 +223,7 @@ class MultiStreamRunner:
         self._frame_count = 0
         self._max_frame_id = 0  # topology watermark (engine semantics)
         self._tri_pool = None
+        self._gt_zero = None     # cached device zeros for no-GT frames
         self.last_stats = None   # [S, len(DEVICE_STATS_KEYS)] device
         self.last_idepth = None  # [S, H, W] device
 
@@ -268,9 +269,22 @@ class MultiStreamRunner:
         duplicated; device bytes move only for addressable shards)."""
         assert len(frames) == self.S
         # Install completed deferred topologies (issue order, never
-        # blocking the dispatch path — engine semantics).
-        while self._pending_topo and self._pending_topo[0].done():
-            self._install_topologies(self._pending_topo.popleft().result())
+        # blocking the dispatch path — engine semantics). In
+        # multi-controller mode `done()` polling would be a per-process
+        # host condition gating a cross-process collective (install is
+        # a pjit): processes could diverge on WHEN to install and hang.
+        # There, every update() installs whatever is pending, BLOCKING —
+        # a deterministic counter-gated point reached identically by all
+        # processes; the build still overlaps the poseframe's own
+        # dispatch, and topology lands one frame after the poseframe.
+        if self.multiprocess:
+            while self._pending_topo:
+                self._install_topologies(
+                    self._pending_topo.popleft().result())
+        else:
+            while self._pending_topo and self._pending_topo[0].done():
+                self._install_topologies(
+                    self._pending_topo.popleft().result())
         pf_every = max(self.params.input.poseframe_subsample_factor, 1)
         is_pf = (self._frame_count % pf_every == 0)
         kf_slot = self._kf_slot
@@ -291,9 +305,16 @@ class MultiStreamRunner:
                 kf_slot)
         packed_dev = self._put_rows(packed)
         has_gt = gt_depths is not None
-        gt_host = (np.asarray(gt_depths, np.float32) if has_gt
-                   else np.zeros((self.S, H, W), np.float32))
-        gt_dev = self._put_rows(gt_host)
+        if has_gt:
+            gt_dev = self._put_rows(np.asarray(gt_depths, np.float32))
+        else:
+            # Device-resident zeros, built once: uploading an [S, H, W]
+            # host zeros buffer every frame would move ~1.2 MB/stream of
+            # constant bytes over the link the runner exists to minimize.
+            if self._gt_zero is None:
+                self._gt_zero = self._put_rows(
+                    np.zeros((self.S, H, W), np.float32))
+            gt_dev = self._gt_zero
         self.states, (idepth, stats) = batched_full_step(
             self.states, packed_dev, gt_dev, cam=self.cam,
             params=self.params, is_pf=is_pf, has_gt=has_gt)
@@ -302,12 +323,21 @@ class MultiStreamRunner:
         self._frame_count += 1
         if is_pf:
             if self.deferred:
+                if self.multiprocess:
+                    # Deterministic variant: just schedule — the job
+                    # installs (blocking) at the next update(), the
+                    # identical counter-gated point on every process.
+                    # No done()-polling, no drops.
+                    self._ensure_pool()
+                    self._pending_topo.append(self._tri_pool.submit(
+                        self._build_topologies,
+                        (self.states.vtx_uv, self.states.vtx_in_graph)))
                 # Bounded pipeline with drop backpressure (mirrors
                 # Flame._schedule_triangulation): when the host/link
                 # cannot keep up, skip THIS retriangulation — topology
                 # staleness grows one poseframe period and the next
                 # poseframe tries again.
-                if len(self._pending_topo) >= 2:
+                elif len(self._pending_topo) >= 2:
                     self.topo_dropped += 1
                 else:
                     self._ensure_pool()
@@ -437,19 +467,38 @@ class MultiStreamRunner:
         engine.py): a vertex slot re-detected AFTER the installed
         triangulation is a different feature at an unrelated pixel, so
         triangles referencing it are masked until the next install."""
-        vb = self._pull_rows(self.states.vtx_uv)
-        xb = self._pull_rows(self.states.vtx_x)
-        gb = self._pull_rows(self.states.vtx_in_graph)
-        tb = self._pull_rows(self.states.tris)
-        tvb = self._pull_rows(self.states.tri_valid)
-        fid = self._pull_rows(self.states.feat.frame_id)
-        wm = self._pull_rows(self.states.topo_frame_id)
+        st = self.states
+        N = st.vtx_x.shape[-1]
+        T = st.tris.shape[-2]
+        # ONE packed [S, ...] f32 buffer -> one D2H (seven separate
+        # pulls cost seven link RTTs on a tunneled backend; same rule as
+        # the engine's _schedule_triangulation pull).
+        packed = jnp.concatenate([
+            st.vtx_uv.reshape(self.S, -1),                       # 2N
+            st.vtx_x,                                            # N
+            st.vtx_in_graph.astype(jnp.float32),                 # N
+            st.tris.reshape(self.S, -1).astype(jnp.float32),     # 3T
+            st.tri_valid.astype(jnp.float32),                    # T
+            st.feat.frame_id.astype(jnp.float32),                # N
+            jnp.broadcast_to(
+                st.topo_frame_id.astype(jnp.float32)[:, None],
+                (self.S, 1)),                                    # 1
+        ], axis=-1)
+        rows = self._pull_rows(packed)
         out = []
-        for s in sorted(vb):
-            v_same = fid[s] <= wm[s]
-            tv = tvb[s] & v_same[tb[s]].all(-1)
-            g = gb[s].astype(bool)
-            out.append((vb[s][g], xb[s][g], tb[s][tv.astype(bool)]))
+        for s in sorted(rows):
+            r = rows[s]
+            o = 0
+            uv = r[o:o + 2 * N].reshape(N, 2); o += 2 * N
+            x = r[o:o + N]; o += N
+            g = r[o:o + N] > 0.5; o += N
+            tris = r[o:o + 3 * T].reshape(T, 3).astype(np.int32); o += 3 * T
+            tvv = r[o:o + T] > 0.5; o += T
+            fid = r[o:o + N].astype(np.int32); o += N
+            wm = int(r[o])
+            v_same = fid <= wm
+            tv = tvv & v_same[tris].all(-1)
+            out.append((uv[g], x[g], tris[tv]))
         return out
 
 
