@@ -26,9 +26,10 @@ import time
 
 
 def main(pid: int, nproc: int, port: int, n_frames: int = 13,
-         bench: bool = False) -> None:
+         bench: bool = False, single: bool = False) -> None:
     import jax
-    jax.distributed.initialize(f"127.0.0.1:{port}", nproc, pid)
+    if not single:
+        jax.distributed.initialize(f"127.0.0.1:{port}", nproc, pid)
     import numpy as np
     from jax.sharding import Mesh
 
@@ -37,14 +38,21 @@ def main(pid: int, nproc: int, port: int, n_frames: int = 13,
     from flame_ros_tpu.geometry.se3 import SE3
     from flame_ros_tpu.parallel import multi_stream as ms
 
-    # One device per process on the stream axis: each process owns one
-    # stream end-to-end (ingest, triangulation, products), all engine
-    # dispatches are one global pjit.
-    by_proc = {}
-    for d in jax.devices():
-        by_proc.setdefault(d.process_index, d)
-    devs = [by_proc[p] for p in sorted(by_proc)]
-    assert len(devs) == nproc, (len(devs), nproc)
+    if single:
+        # Apples-to-apples baseline for the cross-process bench: the
+        # SAME config and loop, nproc streams on nproc virtual devices
+        # in ONE process (launcher sets the host device count).
+        devs = jax.devices()[:nproc]
+        assert len(devs) == nproc, (len(devs), nproc)
+    else:
+        # One device per process on the stream axis: each process owns
+        # one stream end-to-end (ingest, triangulation, products), all
+        # engine dispatches are one global pjit.
+        by_proc = {}
+        for d in jax.devices():
+            by_proc.setdefault(d.process_index, d)
+        devs = [by_proc[p] for p in sorted(by_proc)]
+        assert len(devs) == nproc, (len(devs), nproc)
     mesh = Mesh(np.asarray(devs).reshape(nproc, 1), ("stream", "feat"))
 
     params = FlameParams.from_dict({
@@ -58,7 +66,7 @@ def main(pid: int, nproc: int, port: int, n_frames: int = 13,
     # would diverge the collective order across processes).
     runner = ms.MultiStreamRunner(QVGA, nproc, params=params, mesh=mesh,
                                   deferred_triangulation=True)
-    assert runner.multiprocess
+    assert runner.multiprocess == (not single)
 
     def frame(i):
         return (seq.timestamps[i], i,
@@ -66,11 +74,21 @@ def main(pid: int, nproc: int, port: int, n_frames: int = 13,
                 seq.images[i])
 
     # Stream s runs s frames behind -> genuinely different per-host state.
-    for i in range(n_frames):
+    for i in range(n_frames - 1):
         runner.update([frame(max(i - s, 0)) for s in range(nproc)])
+    # Drain BEFORE the last update so the checked raster runs over the
+    # installed topology (single mode enqueues async: without a sync the
+    # deferred jobs land only after the loop). Deterministic in both
+    # modes — multi-controller pending is empty here anyway (installs
+    # happen inside update()).
+    runner.drain_topologies()
+    runner.update([frame(max(n_frames - 1 - s, 0)) for s in range(nproc)])
 
     local = runner.local_streams()
-    assert local == [pid], (local, pid)  # one stream per process
+    if single:
+        assert local == list(range(nproc)), local
+    else:
+        assert local == [pid], (local, pid)  # one stream per process
     maps = runner.get_idepth_maps()
     assert maps.shape[0] == len(local)
     meshes = runner.get_meshes()
@@ -110,7 +128,8 @@ def main(pid: int, nproc: int, port: int, n_frames: int = 13,
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--bench"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     main(int(args[0]), int(args[1]), int(args[2]),
          int(args[3]) if len(args) > 3 else 13,
-         bench="--bench" in sys.argv)
+         bench="--bench" in sys.argv,
+         single="--single" in sys.argv)

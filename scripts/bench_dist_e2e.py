@@ -42,12 +42,41 @@ def main():
                  .group(1)) for out in outs]
     # Each process reports the same global aggregate (updates are
     # collective); record the mean of the two observations.
+    fps2p = sum(fps) / len(fps)
     print(json.dumps({
         "metric": "e2e_full_fps_2proc",
-        "value": round(sum(fps) / len(fps), 2),
+        "value": round(fps2p, 2),
         "unit": "frames/s aggregate (full algorithm, 2 processes x "
                 "1 stream, jax.distributed)",
         "per_process": [round(f, 2) for f in fps],
+    }), flush=True)
+
+    # Apples-to-apples baseline: the IDENTICAL config and loop, both
+    # streams in ONE process on 2 virtual devices (--single).
+    env1 = dict(env)
+    env1["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    p1 = subprocess.Popen(
+        [sys.executable, "-m", "flame_ros_tpu.parallel.dist_e2e",
+         "0", "2", "0", "13", "--bench", "--single"],
+        cwd=REPO, env=env1, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+    out1 = p1.communicate(timeout=540)[0]
+    if p1.returncode != 0:
+        print(json.dumps({"metric": "e2e_full_fps_1proc_baseline",
+                          "error": out1[-500:]}))
+        return
+    fps1p = float(re.search(r"DIST_E2E_FPS pid=0 fps=([\d.]+)", out1)
+                  .group(1))
+    print(json.dumps({
+        "metric": "e2e_full_fps_1proc_baseline",
+        "value": round(fps1p, 2),
+        "unit": "frames/s aggregate (same config/loop, 1 process x "
+                "2 streams)",
+    }), flush=True)
+    print(json.dumps({
+        "metric": "cross_process_efficiency",
+        "value": round(fps2p / fps1p, 3),
+        "unit": "ratio (2-process / 1-process, identical work)",
     }), flush=True)
 
 
