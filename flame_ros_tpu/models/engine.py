@@ -1022,8 +1022,13 @@ class Flame:
                     tw = time_mod.perf_counter()
                     dev = fut.result()
                     gdev = gfut.result() if gfut else None
-                    self.perf["h2d_wait_s"] += (time_mod.perf_counter()
-                                                - tw)
+                    waited = time_mod.perf_counter() - tw
+                    self.perf["h2d_wait_s"] += waited
+                    # Reference update_locking (the wait before the
+                    # engine may mutate state, msg/FlameStats.msg:32):
+                    # here that is the wait for the window's upload.
+                    self.stats_.set_timing("update_locking",
+                                           waited * 1e3 / max(B, 1))
                     self._dispatch_packed(dev, gdev, first_is_pf, any_pf,
                                           B, mid, topo_len=topo_len)
                 return True
@@ -1234,6 +1239,7 @@ class Flame:
                 cam=self.cam, params=self.params, has_gt=has_gt,
                 first_is_pf=True)
             ts = time_mod.perf_counter()
+            self.stats_.set_timing("dispatch_pf", (ts - t0) * 1e3)
             with self.stats_.scope("triangulate"):
                 self._schedule_triangulation()
             self.perf["tri_sched_s"] = (self.perf.get("tri_sched_s", 0.0)
