@@ -175,7 +175,10 @@ def main():
         # enqueue loop posts hundreds of windows the device hasn't
         # computed, every triangulation drops, and the "fps" is a
         # stale-topology fiction with unbounded latency. The probe costs
-        # one link RTT per window — part of honest streaming.
+        # one link RTT per window — part of honest streaming. (Gating on
+        # the tri-job future instead was tried and is a recorded
+        # negative: under drop backpressure the newest job can be many
+        # windows old, the bound degenerates, and drops cascade.)
         max_inflight = 4
         done_probe = []
         n_frames = 0
