@@ -286,7 +286,8 @@ def _ba_window_sharded(mesh, kf_pyrs, kf_q, kf_t, kf_valid, uv_ref,
 def hybrid_bundle_adjust(kf_pyrs, kf_q, kf_t, kf_valid, uv_ref, idepth0,
                          point_valid, *, cam: Pinhole, rounds: int = 3,
                          num_iters: int = 12, coarse_iters: int = 10,
-                         level: int = 1, **ba_kwargs) -> BAResult:
+                         level: int = 1, pre_search: bool = True,
+                         **ba_kwargs) -> BAResult:
     """Full hybrid windowed BA with MATCH RE-ESTIMATION between rounds.
 
     One round = epipolar matches under the current pose estimates
@@ -320,6 +321,13 @@ def hybrid_bundle_adjust(kf_pyrs, kf_q, kf_t, kf_valid, uv_ref, idepth0,
     TIGHT = (3, 24.0)
     best_cost = jnp.inf
     q, t, d = kf_q, kf_t, idepth0
+    if pre_search and rounds > 1:
+        # Round 0: discrete coarse-level basin search (identity
+        # candidate included, so the start never gets worse at the
+        # search level; the hill-climb below still protects the final
+        # result by cost).
+        q, t = discrete_pose_presearch(kf_pyrs, q, t, kf_valid, uv_ref,
+                                       d, point_valid, cam=cam)
     res = best_res = None
     for r in range(max(rounds, 1)):
         sr, ms = WIDE if r == 1 else TIGHT
@@ -339,6 +347,76 @@ def hybrid_bundle_adjust(kf_pyrs, kf_q, kf_t, kf_valid, uv_ref, idepth0,
             best_res = res
         q, t, d = best_res.q, best_res.t, best_res.idepths
     return best_res
+
+
+@partial(jax.jit, static_argnames=("cam", "ref_index", "level", "iters",
+                                   "n_steps"))
+def discrete_pose_presearch(kf_pyrs, kf_q, kf_t, kf_valid, uv_ref,
+                            idepth, point_valid, *, cam: Pinhole,
+                            ref_index: int = 0, level: int = 2,
+                            step: float = 0.04, n_steps: int = 3,
+                            iters: int = 3):
+    """Coordinate-descent over a discrete pose grid, per keyframe.
+
+    Beyond-basin recovery (BENCH_NOTES round-3 envelope: >= 0.09 rad+m
+    far-keyframe perturbations land in wrong photometric basins that no
+    continuous optimizer escapes): for each non-reference keyframe
+    independently, evaluate the robust photometric cost at a coarse
+    pyramid level for candidate perturbations tau = ±{1..n_steps}*step
+    along each of the 6 twist axes (37 candidates incl. identity at the
+    defaults), move to the argmin, repeat `iters` times. The identity
+    candidate guarantees the discrete cost never increases. Frames
+    whose pose is already good keep it; a drifted frame walks into the
+    right basin for hybrid BA's continuous rounds to polish.
+
+    Costs decouple per frame (depths fixed), so the search is one
+    [K, C] vmap of P-point coarse samples — trivial next to a GN round.
+    Returns (q [K,4], t [K,3]); the reference frame is untouched.
+    """
+    K = kf_q.shape[0]
+    ref_q, ref_t = kf_q[ref_index], kf_t[ref_index]
+    pv = point_valid.astype(jnp.float32)
+    iref, _ = bilinear_pyramid(kf_pyrs[ref_index], uv_ref, level)
+
+    steps = (jnp.arange(1, n_steps + 1, dtype=jnp.float32) * step)
+    signed = jnp.concatenate([steps, -steps])            # [2S]
+    cand = jnp.zeros((6 * 2 * n_steps + 1, 6), jnp.float32)
+    for a in range(6):
+        cand = cand.at[1 + a * 2 * n_steps:
+                       1 + (a + 1) * 2 * n_steps, a].set(signed)
+
+    def frame_cost(pyr_j, q_j, t_j, tau):
+        def r_one(d_p, uv_p, i_p):
+            uv_j, front = _warp_uv(tau, d_p, uv_p, q_j, t_j,
+                                   ref_q, ref_t, cam)
+            val, ok = bilinear_pyramid(pyr_j, uv_j[None, :], level)
+            w = (front & ok[0]).astype(jnp.float32)
+            return (val[0] - i_p) * w, w
+        r, w = jax.vmap(r_one)(idepth, uv_ref, iref)
+        w = w * pv
+        n = jnp.sum(w)
+        cost = jnp.sum(jnp.minimum(jnp.abs(r), 24.0) * w) \
+            / jnp.maximum(n, 1.0)
+        # Out-of-view "solutions" zero their residuals — require the
+        # candidate to keep most points visible.
+        enough = n >= 0.5 * jnp.maximum(jnp.sum(pv), 1.0)
+        return jnp.where(enough, cost, jnp.inf)
+
+    def search_one(pyr_j, q0, t0):
+        def it(_, qt):
+            q_j, t_j = qt
+            costs = jax.vmap(lambda tau: frame_cost(pyr_j, q_j, t_j,
+                                                    tau))(cand)
+            best = cand[jnp.argmin(costs)]
+            dT = SE3.exp(best)
+            return (quat_mul(q_j, dT.q), quat_rotate(q_j, dT.t) + t_j)
+        return jax.lax.fori_loop(0, iters, it, (q0, t0))
+
+    q_new, t_new = jax.vmap(search_one)(kf_pyrs, kf_q, kf_t)
+    keep = (jnp.arange(K) == ref_index) | ~kf_valid
+    q_out = jnp.where(keep[:, None], kf_q, q_new)
+    t_out = jnp.where(keep[:, None], kf_t, t_new)
+    return q_out, t_out
 
 
 def _warp_uv(tau_j, d_p, uv_p, q_j, t_j, ref_q, ref_t, cam: Pinhole):
