@@ -320,28 +320,36 @@ def hybrid_bundle_adjust(kf_pyrs, kf_q, kf_t, kf_valid, uv_ref, idepth0,
     WIDE = (8, 64.0)
     TIGHT = (3, 24.0)
     best_cost = jnp.inf
-    q, t, d = kf_q, kf_t, idepth0
-    if pre_search and rounds > 1:
-        # Round 0: discrete coarse-level basin search (identity
-        # candidate included, so the start never gets worse at the
-        # search level; the hill-climb below still protects the final
-        # result by cost).
-        q, t = discrete_pose_presearch(kf_pyrs, q, t, kf_valid, uv_ref,
-                                       d, point_valid, cam=cam)
     res = best_res = None
-    for r in range(max(rounds, 1)):
-        sr, ms = WIDE if r == 1 else TIGHT
+
+    def one_round(q, t, d, wide):
+        sr, ms = WIDE if wide else TIGHT
         uv_obs, obs_ok = match_window_points(
             kf_pyrs[0], q[0], t[0], kf_pyrs, q, t,
             uv_ref, d, point_valid, cam=cam)
         uv_obs, obs_ok = refine_matches_2d(
             kf_pyrs[0], uv_ref, kf_pyrs, uv_obs, obs_ok,
             search_radius=sr, max_shift=ms)
-        res = bundle_adjust_window(
+        return bundle_adjust_window(
             kf_pyrs, q, t, kf_valid, uv_ref, d, point_valid,
             ref_index=0, cam=cam, num_iters=num_iters,
             coarse_iters=coarse_iters, level=level,
             uv_obs=uv_obs, obs_valid=obs_ok, **ba_kwargs)
+
+    q, t, d = kf_q, kf_t, idepth0
+    if pre_search and rounds > 1:
+        # Round 0a: one tight round from the ORIGINAL poses seeds the
+        # hill-climb, so a coarse-level aliasing jump by the discrete
+        # search (identity only guarantees the COARSE cost) can never
+        # make the final result worse than not searching.
+        best_res = one_round(q, t, d, wide=False)
+        best_cost = float(best_res.final_cost)
+        # Round 0b: discrete coarse-level basin search as the start of
+        # the scheduled rounds.
+        q, t = discrete_pose_presearch(kf_pyrs, q, t, kf_valid, uv_ref,
+                                       d, point_valid, cam=cam)
+    for r in range(max(rounds, 1)):
+        res = one_round(q, t, d, wide=(r == 1))
         if best_res is None or float(res.final_cost) < best_cost:
             best_cost = float(res.final_cost)
             best_res = res

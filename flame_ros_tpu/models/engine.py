@@ -879,6 +879,7 @@ class Flame:
             return False
         s = self.stats_
         s.tick("update")
+        s.set_timing("update_locking", 0.0)  # no upload wait here
         book = (self._num_poseframes, self._kf_slot)
         try:
             first = self._num_poseframes == 0
@@ -1008,6 +1009,10 @@ class Flame:
             frames = ok
         s = self.stats_
         s.tick("update")
+        # No upload wait on the non-prefetched paths (see the prefetched
+        # branch); reset so the last prefetched window's wait doesn't
+        # leak into later frames' records.
+        s.set_timing("update_locking", 0.0)
         book = (self._num_poseframes, self._kf_slot)
         try:
             if prefetched is not None:
@@ -1220,6 +1225,9 @@ class Flame:
         # host-side enqueue cost; on sync backends it includes compute.
         # The full 13-key device breakdown remains the sampled stage
         # profiler's job (utils/stage_profiler.py).
+        # Last-value keys reset per dispatch so paths that don't set
+        # them never re-emit a stale value in later frames' records.
+        self.stats_.set_timing("dispatch_pf", 0.0)
         t0 = time_mod.perf_counter()
         split = (any_pf and first_is_pf and B > 1
                  and self.split_pf_dispatch)

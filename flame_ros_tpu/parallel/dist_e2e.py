@@ -67,6 +67,9 @@ def main(pid: int, nproc: int, port: int, n_frames: int = 13,
     runner = ms.MultiStreamRunner(QVGA, nproc, params=params, mesh=mesh,
                                   deferred_triangulation=True)
     assert runner.multiprocess == (not single)
+    # Same install policy in both modes, so the cross-process bench
+    # ratio isolates the process boundary (not a policy difference).
+    runner.blocking_installs = True
 
     def frame(i):
         return (seq.timestamps[i], i,

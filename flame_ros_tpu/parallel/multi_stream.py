@@ -210,6 +210,14 @@ class MultiStreamRunner:
         # frame late (FLaME already smooths over stale topology between
         # poseframes), taking the host work off the critical path.
         self.deferred = deferred_triangulation
+        # Install policy for deferred topologies: blocking installs at
+        # every update() (REQUIRED in multi-controller mode — done()
+        # polling is a per-process host condition gating a collective
+        # and would diverge the collective order) vs non-blocking
+        # done()-polled installs with drop backpressure (single
+        # process). Benches may force blocking in one process for an
+        # apples-to-apples policy comparison.
+        self.blocking_installs = self.multiprocess
         self._pending_topo = deque()  # in-flight deferred topo jobs
         self.topo_dropped = 0  # retriangulations skipped under pressure
         self.states = init_batched_state(num_streams, self.params, cam)
@@ -277,7 +285,7 @@ class MultiStreamRunner:
         # a deterministic counter-gated point reached identically by all
         # processes; the build still overlaps the poseframe's own
         # dispatch, and topology lands one frame after the poseframe.
-        if self.multiprocess:
+        if self.blocking_installs:
             while self._pending_topo:
                 self._install_topologies(
                     self._pending_topo.popleft().result())
@@ -323,31 +331,28 @@ class MultiStreamRunner:
         self._frame_count += 1
         if is_pf:
             if self.deferred:
-                if self.multiprocess:
-                    # Deterministic variant: just schedule — the job
-                    # installs (blocking) at the next update(), the
-                    # identical counter-gated point on every process.
-                    # No done()-polling, no drops.
-                    self._ensure_pool()
-                    self._pending_topo.append(self._tri_pool.submit(
-                        self._build_topologies,
-                        (self.states.vtx_uv, self.states.vtx_in_graph)))
                 # Bounded pipeline with drop backpressure (mirrors
-                # Flame._schedule_triangulation): when the host/link
-                # cannot keep up, skip THIS retriangulation — topology
-                # staleness grows one poseframe period and the next
-                # poseframe tries again.
-                elif len(self._pending_topo) >= 2:
+                # Flame._schedule_triangulation) — except in
+                # multi-controller mode, whose blocking-install policy
+                # (see update() head) keeps the queue at <= 1, so drops
+                # cannot occur and every process decides identically.
+                if (not self.blocking_installs
+                        and len(self._pending_topo) >= 2):
                     self.topo_dropped += 1
                 else:
                     self._ensure_pool()
-                    graph_dev = (self.states.vtx_uv,
-                                 self.states.vtx_in_graph)
+                    # Watermark snapshotted at SUBMIT time: a delayed
+                    # job must not stamp its (older) vertex snapshot
+                    # with a newer frame id, or slots re-detected in the
+                    # meantime would pass the stale-triangle gate.
                     self._pending_topo.append(self._tri_pool.submit(
-                        self._build_topologies, graph_dev))
+                        self._build_topologies,
+                        (self.states.vtx_uv, self.states.vtx_in_graph),
+                        self._max_frame_id))
             else:
                 self._install_topologies(self._build_topologies(
-                    (self.states.vtx_uv, self.states.vtx_in_graph)))
+                    (self.states.vtx_uv, self.states.vtx_in_graph),
+                    self._max_frame_id))
         return True
 
     def drain_topologies(self):
@@ -373,7 +378,7 @@ class MultiStreamRunner:
                 max_workers=min(self.S, 8) + 1,
                 thread_name_prefix="flame-ms-tri")
 
-    def _build_topologies(self, graph_dev):
+    def _build_topologies(self, graph_dev, wm: int):
         """Per-stream host Delaunay: ONE packed D2H for all streams, the
         Delaunay/incidence builds fan out on a thread pool, and all S
         packed topologies come back as one [S, ...] int32 batch.
@@ -389,7 +394,6 @@ class MultiStreamRunner:
              vtx_in_graph.astype(jnp.float32)], axis=1)
         self._ensure_pool()
         builder = _HostTopologyBuilder(self.params)
-        wm = self._max_frame_id
         if self.multiprocess:
             rows = {}
             for shard in buf_dev.addressable_shards:
@@ -472,17 +476,20 @@ class MultiStreamRunner:
         T = st.tris.shape[-2]
         # ONE packed [S, ...] f32 buffer -> one D2H (seven separate
         # pulls cost seven link RTTs on a tunneled backend; same rule as
-        # the engine's _schedule_triangulation pull).
+        # the engine's _schedule_triangulation pull). Integer fields
+        # travel as BIT PATTERNS (bitcast, viewed back on host) — a
+        # value cast to f32 stops round-tripping past 2^24, which would
+        # silently corrupt the stale-triangle gate on long-lived
+        # streams.
+        bits = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
         packed = jnp.concatenate([
             st.vtx_uv.reshape(self.S, -1),                       # 2N
             st.vtx_x,                                            # N
             st.vtx_in_graph.astype(jnp.float32),                 # N
-            st.tris.reshape(self.S, -1).astype(jnp.float32),     # 3T
+            bits(st.tris.reshape(self.S, -1)),                   # 3T bits
             st.tri_valid.astype(jnp.float32),                    # T
-            st.feat.frame_id.astype(jnp.float32),                # N
-            jnp.broadcast_to(
-                st.topo_frame_id.astype(jnp.float32)[:, None],
-                (self.S, 1)),                                    # 1
+            bits(st.feat.frame_id),                              # N bits
+            bits(st.topo_frame_id)[:, None],                     # 1 bits
         ], axis=-1)
         rows = self._pull_rows(packed)
         out = []
@@ -492,10 +499,11 @@ class MultiStreamRunner:
             uv = r[o:o + 2 * N].reshape(N, 2); o += 2 * N
             x = r[o:o + N]; o += N
             g = r[o:o + N] > 0.5; o += N
-            tris = r[o:o + 3 * T].reshape(T, 3).astype(np.int32); o += 3 * T
+            tris = np.ascontiguousarray(r[o:o + 3 * T]).view(
+                np.int32).reshape(T, 3); o += 3 * T
             tvv = r[o:o + T] > 0.5; o += T
-            fid = r[o:o + N].astype(np.int32); o += N
-            wm = int(r[o])
+            fid = np.ascontiguousarray(r[o:o + N]).view(np.int32); o += N
+            wm = int(np.ascontiguousarray(r[o:o + 1]).view(np.int32)[0])
             v_same = fid <= wm
             tv = tvv & v_same[tris].all(-1)
             out.append((uv[g], x[g], tris[tv]))

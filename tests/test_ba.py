@@ -310,7 +310,9 @@ def test_ba_recovery_envelope(setup, mag, clean):
     discrete coarse-level pose pre-search (round 0 of the hybrid
     schedule), |tau| <= 0.12 rad+m recovers cleanly on every seed
     (round-2 boundary: 0.05; round-3 without pre-search: 0.07), and at
-    0.15 the error at least halves. Sweep data: BENCH_NOTES round-3
+    0.15 there is no divergence — the remaining error stays strictly
+    below the injected perturbation (without pre-search it ends at
+    0.34, worse than the injection). Sweep data: BENCH_NOTES round-3
     envelope tables."""
     from flame_ros_tpu.models.ba import hybrid_bundle_adjust
     seq, pyrs, q, t, uvp, gt_idepth, pv, K = setup
