@@ -57,6 +57,20 @@ def test_low_texture_stress_vga200(capsys):
 
 
 @pytest.mark.acceptance
+def test_rotation_low_texture_stress_vga200(capsys):
+    """The hardest synthesizable combination: in-plane epipoles (yaw pan,
+    ~6 cm baselines) AND sparse gradients (contrast 0.3) at once."""
+    s = _run(capsys, "--motion", "rotation", "--texture-gain", "0.3")
+    # Recorded (PARITY.md): rmse 0.0365, recall 0.809, coverage 0.852,
+    # delta1 0.942 (2026-08-19).
+    assert s["failed"] == 0 and s["frames"] == 200
+    assert s["idepth_rmse"] < 0.05, s
+    assert s["precision"] > 0.95, s
+    assert s["recall"] > 0.70, s
+    assert s["coverage"] > 0.80, s
+
+
+@pytest.mark.acceptance
 def test_exposure_stress_zero_mean_ssd_ab(capsys):
     """A/B on the exposure-oscillation regime: zero_mean_ssd must pass
     hard gates AND beat plain SSD on rmse, recall, and abs_rel."""
