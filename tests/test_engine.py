@@ -536,3 +536,24 @@ def test_split_pf_dispatch_quality(seq):
         err = np.abs(est - gt)[m]
         assert np.median(err) < 0.03, (split, np.median(err))
         assert int(np.asarray(eng.state.tri_valid).sum()) > 100
+
+
+def test_timing_keys_reset_between_paths(seq):
+    """Last-value stage timings must not leak across update paths: a
+    prefetched window records its real upload wait (update_locking);
+    a subsequent plain window resets it to zero."""
+    params = _small_params()
+    eng = Flame(seq.cam.width, seq.cam.height, cam=seq.cam, params=params)
+
+    def win(w):
+        return [(seq.timestamps[i], i, SE3(seq.poses.q[i], seq.poses.t[i]),
+                 seq.images[i], i % 6 == 0) for i in range(6 * w, 6 * w + 6)]
+
+    pre = eng.prefetch_window(win(0))
+    assert eng.update_window(prefetched=pre)
+    rec = eng.stats().to_record(5, 0.0)
+    assert rec["update_locking_ms"] >= 0.0  # set by the prefetched path
+    assert eng.update_window(win(1))
+    rec = eng.stats().to_record(11, 0.0)
+    assert rec["update_locking_ms"] == 0.0  # reset on the plain path
+    assert rec["dispatch_pf_ms"] == 0.0     # split inactive (no deferred)

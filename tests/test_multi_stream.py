@@ -159,3 +159,35 @@ def test_runner_deferred_triangulation(seq):
     assert np.median(np.abs(maps[0] - gt)[m]) < 0.05
     for uv, x, tris in runner.get_meshes():
         assert len(tris) >= 1
+
+
+def test_get_meshes_bit_exact_past_f32_ceiling(seq):
+    """Integer fields travel the packed get_meshes D2H as bit patterns:
+    frame ids and the watermark above 2^24 (where f32 casts stop
+    round-tripping) must still gate triangles exactly."""
+    import jax.numpy as jnp
+    runner = ms.MultiStreamRunner(seq.cam, num_streams=2, params=_params())
+    for i in range(13):
+        f = _frames(seq, i)
+        runner.update([f, f])
+    st = runner.states
+    tvb = np.asarray(st.tri_valid)
+    assert tvb[0].any()
+    # Long-lived-stream ids: watermark at 2^24 + 5 (NOT f32-exact), one
+    # recycled slot exactly one past it, all other slots exactly at it.
+    big = 2 ** 24 + 5
+    tri0 = int(np.flatnonzero(tvb[0])[0])
+    slot = int(np.asarray(st.tris)[0, tri0, 0])
+    fid = np.full(st.feat.frame_id.shape, big, np.int32)
+    fid[0, slot] = big + 1  # would alias to big under an f32 cast
+    runner.states = st._replace(
+        feat=st.feat._replace(frame_id=jnp.asarray(fid)),
+        topo_frame_id=jnp.full_like(st.topo_frame_id, big))
+    meshes = runner.get_meshes()
+    tris0 = np.asarray(st.tris)[0]
+    n_ghost = int((tvb[0] & (tris0 == slot).any(-1)).sum())
+    assert n_ghost >= 1
+    # f32 transport would round big+1 down to big and KEEP the ghosts.
+    assert len(meshes[0][2]) == int(tvb[0].sum()) - n_ghost
+    for t in meshes[0][2]:
+        assert slot not in t
