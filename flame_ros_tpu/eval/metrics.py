@@ -96,6 +96,57 @@ def depth_metrics(idepths, depth):
     return out
 
 
+def align_trajectory(est_t: np.ndarray, gt_t: np.ndarray,
+                     with_scale: bool = False):
+    """Umeyama/Horn closed-form trajectory alignment.
+
+    est_t, gt_t: [N, 3] camera positions. Returns (s, R, t) minimizing
+    || gt - (s * R @ est + t) ||^2 over rotations R (and uniform scale s
+    when with_scale, else s = 1 — the SE3/Horn variant).
+    """
+    est = np.asarray(est_t, np.float64)
+    gt = np.asarray(gt_t, np.float64)
+    mu_e = est.mean(axis=0)
+    mu_g = gt.mean(axis=0)
+    E = est - mu_e
+    G = gt - mu_g
+    C = G.T @ E / len(est)
+    U, S, Vt = np.linalg.svd(C)
+    d = np.sign(np.linalg.det(U) * np.linalg.det(Vt))
+    D = np.diag([1.0, 1.0, d])
+    R = U @ D @ Vt
+    if with_scale:
+        var_e = (E ** 2).sum() / len(est)
+        s = float(np.trace(np.diag(S) @ D) / max(var_e, 1e-12))
+    else:
+        s = 1.0
+    t = mu_g - s * R @ mu_e
+    return s, R, t
+
+
+def ate_rmse(est_t: np.ndarray, gt_t: np.ndarray,
+             align: str = "se3") -> float:
+    """Absolute trajectory error RMSE (the tracking-mode headline metric;
+    the reference's trajectory-consuming analog is its whole pose-graph
+    frontend, src/flame_nodelet.cc:414-479 — it never evaluates ATE, so
+    the protocol here follows the TUM RGB-D benchmark's evaluate_ate:
+    Horn-align estimated positions to GT, then RMSE of the residuals).
+
+    align: "se3" (Horn rotation+translation — scale errors COUNT, since
+    the monocular scale is anchored by the bootstrap depth), "sim3"
+    (+uniform scale, diagnostic: drift with scale removed), or "none"
+    (origin-aligned raw residuals — both trajectories start at identity).
+    """
+    est = np.asarray(est_t, np.float64)
+    gt = np.asarray(gt_t, np.float64)
+    if align == "none":
+        res = gt - est
+    else:
+        s, R, t = align_trajectory(est, gt, with_scale=(align == "sim3"))
+        res = gt - (s * (R @ est.T).T + t)
+    return float(np.sqrt(np.mean(np.sum(res ** 2, axis=1))))
+
+
 @dataclass
 class TruthStats:
     true_pos: int

@@ -70,10 +70,19 @@ class FlameNodelet:
     def __init__(self, cam: Pinhole, params: Optional[FlameParams] = None,
                  queue_size: int = 8,
                  alarm_after_s: float = 1.0, fail_after_s: float = 5.0,
-                 pose_source: str = "external", ba_refine: bool = False):
+                 pose_source: str = "external", ba_refine: bool = False,
+                 eval_gt_depth: bool = False):
         if pose_source not in ("external", "tracking"):
             raise ValueError(pose_source)
         self.pose_source = pose_source
+        # Fold the GT confusion matrix into the device stats vector when a
+        # frame carries a depth map (offline evaluation harness; in
+        # tracking mode the depth is otherwise used ONLY for the scale
+        # bootstrap on frame 0 — it never feeds estimation).
+        self.eval_gt_depth = eval_gt_depth
+        # (img_id, time, estimated-or-external pose) per processed frame,
+        # for ATE evaluation against a GT trajectory.
+        self.trajectory: list[tuple[int, float, SE3]] = []
         # Photometric windowed BA over the keyframe ring at poseframe rate
         # (models/ba.py) — refines keyframe poses beyond the odometry
         # pose graph. Only meaningful with pose_source="tracking"
@@ -358,10 +367,14 @@ class FlameNodelet:
         # Tracking mode: the tracker already built this frame's device
         # pyramid — hand it to the engine so the frame is uploaded and
         # pyramided exactly once (VERDICT r1 weak #10).
+        gt = (frame.depth if (self.eval_gt_depth and frame.depth is not None
+                              and np.any(frame.depth > 0)) else None)
         ok = self.engine.update(frame.time, frame.img_id, pose, frame.gray,
-                                is_pf, img_pyr=self._pending_cur_pyr)
+                                is_pf, img_pyr=self._pending_cur_pyr,
+                                gt_depth=gt)
         if not ok:
             return
+        self.trajectory.append((frame.img_id, frame.time, pose))
         if self.pose_source == "tracking":
             # Refresh the tracking keyframe one processed frame AFTER the
             # poseframe: the engine retriangulates after the poseframe

@@ -48,6 +48,14 @@ class RunResult:
     final_abs_rel: float = float("nan")
     final_delta1: float = float("nan")
     stats_path: Optional[str] = None
+    # Tracking-mode (no GT poses) trajectory metrics. ate_rmse is
+    # Horn/SE3-aligned (scale errors count — monocular scale is anchored
+    # by the bootstrap depth); sim3 removes scale (drift diagnostic);
+    # raw is origin-aligned (both trajectories start at identity).
+    ate_rmse: float = float("nan")
+    ate_rmse_sim3: float = float("nan")
+    ate_rmse_raw: float = float("nan")
+    gt_path_length: float = float("nan")
 
 
 def _final_depth_metrics(res: "RunResult", engine, last_gt) -> None:
@@ -261,6 +269,105 @@ def run_offline(frames: Iterable, cam, params: FlameParams,
     return res
 
 
+def run_offline_tracking(frames: Iterable, cam, params: FlameParams,
+                         out_dir: Optional[str] = None,
+                         ba_refine: bool = False,
+                         max_frames: Optional[int] = None,
+                         quiet: bool = True) -> RunResult:
+    """BASELINE config 4: online streaming with NO GT poses. Poses are
+    estimated by the nodelet's direct tracker (+ windowed pose graph, and
+    optionally photometric windowed BA over the keyframe ring at
+    poseframe rate — `ba_refine`). Input poses, if the stream has them,
+    are used ONLY as the GT trajectory for ATE evaluation; the first
+    frame's depth map fixes monocular scale (RGB-D-style bootstrap);
+    depth on later frames feeds only the GT confusion matrix.
+
+    Reports the same stats.txt/JSONL products as `run_offline` plus the
+    ATE block (Horn-aligned — eval.metrics.ate_rmse docstring states the
+    protocol). Reference analog: the trajectory-consuming online frontend
+    (src/flame_nodelet.cc:414-479) — which never evaluates ATE.
+    """
+    from flame_ros_tpu.eval.metrics import ate_rmse
+    from flame_ros_tpu.frontends.nodelet import FlameNodelet
+
+    node = FlameNodelet(cam, params, pose_source="tracking",
+                        ba_refine=ba_refine, eval_gt_depth=True)
+    writer = StatsFileWriter(out_dir) if out_dir else None
+    jsonl = open(os.path.join(out_dir, "telemetry.jsonl"), "w") \
+        if out_dir else None
+
+    res = RunResult()
+    rmses, precs, recs = [], [], []
+    last_gt = None
+    gt_poses: dict[int, np.ndarray] = {}   # img_id -> GT position
+    n_seen = 0
+
+    def on_stats(rec):
+        nonlocal n_seen
+        if rec.get("true_pos", -1) >= 0:
+            ts = TruthStats.from_record(rec)
+            rmses.append(ts.rmse)
+            if np.isfinite(ts.precision):
+                precs.append(ts.precision)
+            if np.isfinite(ts.recall):
+                recs.append(ts.recall)
+            if writer:
+                writer.append(n_seen, rec["timestamp"],
+                              rec.get("update_ms", 0.0),
+                              int(rec["num_vtx"]), int(rec["num_tris"]),
+                              ts, rec["total_photo_error"],
+                              rec["avg_photo_error"])
+        if jsonl:
+            jsonl.write(json.dumps(rec) + "\n")
+        n_seen += 1
+
+    node.on_stats.append(on_stats)
+    t_start = time_mod.perf_counter()
+    for frame in frames:
+        if max_frames is not None and frame.img_id >= max_frames:
+            break
+        if frame.quat is not None:
+            gt_poses[frame.img_id] = np.asarray(frame.trans, np.float64)
+        if np.any(frame.depth > 0):
+            last_gt = frame.depth
+        node.push_frame(frame.img_id, frame.time, gray=frame.gray,
+                        depth=frame.depth)
+        node.run_until_idle(idle_timeout=0.01)
+        if not quiet and node.trajectory:
+            fid, _, pose = node.trajectory[-1]
+            print(f"frame {fid}: est_t={np.round(np.asarray(pose.t), 3)}")
+    node.engine.shutdown()
+
+    res.frames_processed = len(node.trajectory)
+    res.frames_failed = node.engine.num_failed_frames
+    res.fps = res.frames_processed / max(
+        time_mod.perf_counter() - t_start, 1e-6)
+    if rmses:
+        res.mean_rmse = float(np.mean(rmses))
+    if precs:
+        res.mean_precision = float(np.mean(precs))
+    if recs:
+        res.mean_recall = float(np.mean(recs))
+    _final_depth_metrics(res, node.engine, last_gt)
+    res.final_coverage = float(node.engine.stats_.stats("coverage"))
+    if writer:
+        res.stats_path = writer.path
+    if jsonl:
+        jsonl.close()
+
+    pairs = [(np.asarray(p.t, np.float64), gt_poses[fid])
+             for fid, _, p in node.trajectory if fid in gt_poses]
+    if len(pairs) >= 3:
+        est_t = np.stack([e for e, _ in pairs])
+        gt_t = np.stack([g for _, g in pairs])
+        res.ate_rmse = ate_rmse(est_t, gt_t, align="se3")
+        res.ate_rmse_sim3 = ate_rmse(est_t, gt_t, align="sim3")
+        res.ate_rmse_raw = ate_rmse(est_t, gt_t, align="none")
+        res.gt_path_length = float(
+            np.sum(np.linalg.norm(np.diff(gt_t, axis=0), axis=1)))
+    return res
+
+
 def with_pose_noise(frames: Iterable, sigma_trans: float,
                     sigma_rot_deg: float, seed: int = 0):
     """Pose-noise ablation wrapper (reference: the Gaussian SE3 noise
@@ -359,6 +466,14 @@ def main(argv=None):
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--window", type=int, default=0,
                    help="batch N frames per device dispatch (0 = per-frame)")
+    p.add_argument("--pose-source", default="external",
+                   choices=["external", "tracking"],
+                   help="tracking = BASELINE config 4: estimate poses "
+                        "online (direct tracker + pose graph); input "
+                        "poses are used only for ATE evaluation")
+    p.add_argument("--ba-refine", action="store_true",
+                   help="tracking mode: windowed photometric BA over the "
+                        "keyframe ring at poseframe rate")
     p.add_argument("--profile-stages", action="store_true",
                    help="populate the reference's 13-stage timing "
                         "vocabulary at debug rate (costs host syncs)")
@@ -391,7 +506,15 @@ def main(argv=None):
                                  seed=args.pose_noise_seed)
     if args.out:
         os.makedirs(args.out, exist_ok=True)
-    if args.window > 0:
+    if args.pose_source == "tracking":
+        if args.window > 0 or args.pass_in_truth or args.rate > 0:
+            p.error("--pose-source tracking is incompatible with "
+                    "--window/--pass-in-truth/--rate")
+        res = run_offline_tracking(
+            frames, cam, params, out_dir=args.out,
+            ba_refine=args.ba_refine, max_frames=args.frames,
+            quiet=not args.verbose)
+    elif args.window > 0:
         if args.pass_in_truth or args.rate > 0:
             p.error("--window is incompatible with --pass-in-truth/--rate")
         res = run_offline_windowed(
@@ -420,6 +543,17 @@ def main(argv=None):
         "delta1": (round(res.final_delta1, 4)
                    if np.isfinite(res.final_delta1) else None),
     }
+    if args.pose_source == "tracking":
+        summary.update({
+            "ate_rmse": (round(res.ate_rmse, 5)
+                         if np.isfinite(res.ate_rmse) else None),
+            "ate_rmse_sim3": (round(res.ate_rmse_sim3, 5)
+                              if np.isfinite(res.ate_rmse_sim3) else None),
+            "ate_rmse_raw": (round(res.ate_rmse_raw, 5)
+                             if np.isfinite(res.ate_rmse_raw) else None),
+            "gt_path_length": (round(res.gt_path_length, 4)
+                               if np.isfinite(res.gt_path_length) else None),
+        })
     print(json.dumps(summary))
     return res
 

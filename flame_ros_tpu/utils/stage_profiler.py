@@ -150,6 +150,16 @@ def profile_stages(engine, img_gray, pose) -> dict:
     rec("detection_loop", _time(
         lambda: _alloc_jit(st.feat.valid, dvalid, duv)))
 
+    # interpolate: the reference interpolates the predicted dense idepth
+    # map into the new frame to warm-start it (msg/FlameStats.msg:33; cfg
+    # nltgv2/init_with_prediction). The analog here is the plane-sample
+    # of the last rasterized map at the new detections — fused into the
+    # track step on the product path, timed standalone at debug rate like
+    # every other stage.
+    rec("interpolate", _time(
+        lambda: raster_ops.sample_idepth_at(st.last_idmap, st.last_planes,
+                                            duv)[0]))
+
     # sync_graph: the post-triangulation graph smoothing + rasterization
     # dispatch (NLTGV2 sweeps + raster + photo error = _smooth_step).
     from flame_ros_tpu.models.engine import _ZERO_IMG, _smooth_step

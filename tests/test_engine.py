@@ -460,7 +460,7 @@ def test_profile_stages_populates_timing_vocabulary(seq):
     t = engine.stats_.timings()
     for key in ("frame_creation", "update_idepths", "project_features",
                 "project_graph", "keyframe", "detection", "detection_loop",
-                "sync_graph", "triangulate"):
+                "interpolate", "sync_graph", "triangulate"):
         assert key in t, f"missing stage timing {key}"
         assert t[key] >= 0.0
     # The hot stages must carry real (nonzero) measurements.

@@ -56,6 +56,34 @@ def test_runner_windowed(tmp_path, capsys):
     assert len(telemetry) == 18
 
 
+def test_runner_tracking_mode(tmp_path, capsys):
+    """--pose-source tracking (BASELINE config 4 path through the
+    runner): poses estimated online, input GT poses consumed only by the
+    ATE block; depth metrics + stats.txt flow as in external mode."""
+    # NOTE: the synthetic trajectory spans the full loop regardless of
+    # frame count, so fewer frames = larger inter-frame baselines; 40
+    # keeps per-frame motion in the tracker's designed regime.
+    main(["--dataset", "synthetic", "--frames", "40",
+          "--pose-source", "tracking", "--out", str(tmp_path)])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    summary = json.loads(out)
+    assert summary["frames"] == 40
+    assert summary["failed"] == 0
+    # Trajectory: Horn-aligned ATE well under 1% of the GT path.
+    assert summary["ate_rmse"] is not None
+    assert summary["gt_path_length"] > 1.0
+    assert summary["ate_rmse"] < 0.01 * summary["gt_path_length"], summary
+    assert summary["ate_rmse_sim3"] <= summary["ate_rmse"] + 1e-6
+    # Depth metrics still flow (estimated poses, so looser than external).
+    assert summary["idepth_rmse"] is not None
+    assert summary["idepth_rmse"] < 0.12
+    from flame_ros_tpu.eval.metrics import load_stats_file
+    stats = load_stats_file(str(tmp_path / "stats.txt"))
+    assert len(stats["idx"]) >= 30
+    telemetry = [json.loads(l) for l in open(tmp_path / "telemetry.jsonl")]
+    assert len(telemetry) == 40
+
+
 def test_runner_window_flag_conflicts(tmp_path, capsys):
     import pytest
     with pytest.raises(SystemExit):
