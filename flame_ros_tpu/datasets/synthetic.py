@@ -54,6 +54,52 @@ def _room_planes():
     ]
 
 
+def _primitive_planes():
+    """Second scene family (independent of the room): occluding boxes
+    floating in front of a back wall + floor, producing depth
+    DISCONTINUITIES at every silhouette edge — the structure the room's
+    closed surfaces lack, and exactly where mesh-over-occlusion artifacts
+    (long skewed triangles bridging fore/background) appear. Exercises
+    the oblique/edge-length display filters (reference
+    src/flame_nodelet.cc:644-715, cfg/flame_nodelet.yaml:33-42)."""
+    def plane(p, n, tu, tv, eu, ev, seed):
+        return (np.array(p, np.float32), np.array(n, np.float32),
+                np.array(tu, np.float32), np.array(tv, np.float32),
+                np.float32(eu), np.float32(ev), seed)
+
+    out = [
+        # Back wall at z=4.5 and floor.
+        plane([0, 0, 4.5], [0, 0, -1], [1, 0, 0], [0, 1, 0], 3.4, 2.4, 11),
+        plane([0, 1.6, 2.4], [0, -1, 0], [1, 0, 0], [0, 0, 1], 3.4, 3.4, 12),
+    ]
+    # Floating boxes (front + top + one side face each): fore/background
+    # depth ratios of ~2-3x across their silhouettes.
+    boxes = [
+        # (center, half_extents, seed)
+        ((-0.9, 0.45, 1.9), (0.35, 0.30, 0.25), 13),
+        ((0.75, -0.35, 2.6), (0.40, 0.35, 0.30), 16),
+        ((0.1, 0.85, 3.2), (0.55, 0.25, 0.25), 19),
+    ]
+    for (cx, cy, cz), (ex, ey, ez), seed in boxes:
+        out.append(plane([cx, cy, cz - ez], [0, 0, -1],
+                         [1, 0, 0], [0, 1, 0], ex, ey, seed))
+        out.append(plane([cx, cy - ey, cz], [0, -1, 0],
+                         [1, 0, 0], [0, 0, 1], ex, ez, seed + 1))
+        out.append(plane([cx - ex, cy, cz], [-1, 0, 0],
+                         [0, 0, 1], [0, 1, 0], ez, ey, seed + 2))
+    return out
+
+
+def _primitive_spheres():
+    """(center, radius, seed): curved occluders — their silhouette is a
+    smooth curve no Delaunay edge aligns with, the adversarial case for
+    triangle-filter heuristics."""
+    return [
+        (np.array([0.0, -0.55, 2.1], np.float32), np.float32(0.38), 23),
+        (np.array([-1.15, -0.15, 3.0], np.float32), np.float32(0.45), 27),
+    ]
+
+
 def _value_noise_octave(u, v, table):
     """Smoothstep-interpolated value noise from a random grid (non-periodic,
     so epipolar matching has no repeated lobes to alias onto)."""
@@ -90,9 +136,15 @@ def _texture(tu, tv, seed: int, eu: float, ev: float):
     return jnp.clip(val * 0.5 + 0.5, 0.0, 1.0) * 215.0 + 20.0
 
 
-@partial(jax.jit, static_argnames=("cam",))
-def render_frame(cam: Pinhole, pose_q, pose_t):
-    """Render (gray [H,W] f32 in [0,255], depth [H,W] f32) for pose T_wc."""
+@partial(jax.jit, static_argnames=("cam", "scene"))
+def render_frame(cam: Pinhole, pose_q, pose_t, scene: str = "room"):
+    """Render (gray [H,W] f32 in [0,255], depth [H,W] f32) for pose T_wc.
+
+    scene: "room" (closed textured surfaces, the original family) or
+    "primitives" (floating boxes + spheres over a back wall — occlusion
+    boundaries / depth discontinuities; an independent generator family
+    so acceptance numbers are not correlated with one scene model).
+    """
     H, W = cam.height, cam.width
     u = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     v = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
@@ -103,7 +155,8 @@ def render_frame(cam: Pinhole, pose_q, pose_t):
 
     best_depth = jnp.full((H, W), jnp.inf, jnp.float32)
     best_val = jnp.zeros((H, W), jnp.float32)
-    for (p0, n, tu_ax, tv_ax, eu, ev, seed) in _room_planes():
+    planes = _room_planes() if scene == "room" else _primitive_planes()
+    for (p0, n, tu_ax, tv_ax, eu, ev, seed) in planes:
         p0 = jnp.asarray(p0)
         n = jnp.asarray(n)
         denom = jnp.einsum("hwc,c->hw", d_w, n)
@@ -118,6 +171,30 @@ def render_frame(cam: Pinhole, pose_q, pose_t):
         closer = depth < best_depth
         best_val = jnp.where(closer, _texture(tu, tv, seed, eu, ev), best_val)
         best_depth = jnp.minimum(best_depth, depth)
+
+    if scene == "primitives":
+        for (c, r, seed) in _primitive_spheres():
+            c = jnp.asarray(c)
+            # Ray-sphere: |o + s d - c|^2 = r^2 with unnormalized d
+            # (camera z = 1), so the hit parameter s IS the camera
+            # z-depth — GT depth stays exact, as for the planes.
+            oc = o_w - c
+            a = jnp.einsum("hwc,hwc->hw", d_w, d_w)
+            b = 2.0 * jnp.einsum("hwc,c->hw", d_w, oc)
+            c0 = jnp.einsum("c,c->", oc, oc) - r * r
+            disc = b * b - 4.0 * a * c0
+            s = (-b - jnp.sqrt(jnp.maximum(disc, 0.0))) / (2.0 * a)
+            hit = (disc > 0.0) & (s > 0.05)
+            depth_s = jnp.where(hit, s, jnp.inf)
+            closer = depth_s < best_depth
+            # Surface-attached lon/lat texture: photometrically
+            # consistent across viewpoints (required for direct methods).
+            p = o_w + s[..., None] * d_w - c
+            lon = jnp.arctan2(p[..., 1], p[..., 0])
+            lat = jnp.arcsin(jnp.clip(p[..., 2] / r, -1.0, 1.0))
+            tex = _texture(lon, lat, seed, np.pi, np.pi / 2)
+            best_val = jnp.where(closer, tex, best_val)
+            best_depth = jnp.minimum(best_depth, depth_s)
 
     gray = jnp.where(jnp.isfinite(best_depth), best_val, 0.0)
     depth = jnp.where(jnp.isfinite(best_depth), best_depth, 0.0)
@@ -157,6 +234,22 @@ def make_trajectory(n_frames: int, motion: str = "strafe") -> SE3:
         taus = np.stack([tx, ty, tz, pitch, yaw, np.zeros_like(ts)],
                         axis=-1)
         return SE3.exp(jnp.asarray(taus))
+    elif motion == "mav":
+        # 6-DoF MAV regime (BASELINE config 3 stand-in: EuRoC V1 Vicon-
+        # room flight, reference src/flame_offline_asl.cc:91-798): roll
+        # and pitch oscillate out of phase at twice the lateral sweep
+        # frequency, with a forward excursion toward the back wall, a
+        # vertical bob, and a yaw pan — all six DoF excited at once. At
+        # 200 frames / 30 fps this is ~16 deg/s peak roll rate and
+        # ~0.5 m/s peak translation, V1_01_easy-like.
+        tx = 0.5 * np.sin(2 * np.pi * ts)
+        ty = 0.15 * np.sin(4 * np.pi * ts + 0.7)
+        tz = 0.45 * (1.0 - np.cos(2 * np.pi * ts))
+        roll = 0.15 * np.sin(4 * np.pi * ts)
+        pitch = 0.12 * np.sin(4 * np.pi * ts + 1.1)
+        yaw = 0.25 * np.sin(2 * np.pi * ts + 0.4)
+        taus = np.stack([tx, ty, tz, pitch, yaw, roll], axis=-1)
+        return SE3.exp(jnp.asarray(taus))
     elif motion == "static":
         tx = ty = tz = yaw = np.zeros_like(ts)
     else:
@@ -182,7 +275,8 @@ def make_sequence(n_frames: int = 30, cam: Pinhole = QVGA,
                   motion: str = "strafe", fps: float = 30.0,
                   texture_gain: float = 1.0,
                   exposure_amp: float = 0.0,
-                  exposure_period: float = 50.0) -> SyntheticSequence:
+                  exposure_period: float = 50.0,
+                  scene: str = "room") -> SyntheticSequence:
     """Render a posed sequence. Stress knobs (BASELINE "TUM low-texture
     stress" config class — real sequences are not downloadable here, so
     the hard regimes are synthesized):
@@ -202,7 +296,7 @@ def make_sequence(n_frames: int = 30, cam: Pinhole = QVGA,
     poses = make_trajectory(n_frames, motion)
     imgs, deps = [], []
     for i in range(n_frames):
-        g, d = render_frame(cam, poses.q[i], poses.t[i])
+        g, d = render_frame(cam, poses.q[i], poses.t[i], scene)
         g = np.asarray(g)
         if texture_gain != 1.0:
             g = 127.5 + texture_gain * (g - 127.5)

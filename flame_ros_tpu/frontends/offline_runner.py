@@ -395,7 +395,8 @@ def _build_frames(args):
         seq = make_sequence(n_frames=args.frames or 60, cam=cam,
                             motion=args.motion,
                             texture_gain=args.texture_gain,
-                            exposure_amp=args.exposure_amp)
+                            exposure_amp=args.exposure_amp,
+                            scene=args.scene)
 
         @dataclass
         class F:
@@ -450,7 +451,14 @@ def main(argv=None):
                    help="throttle to N fps (0 = unthrottled)")
     p.add_argument("--pass-in-truth", action="store_true")
     p.add_argument("--resize-factor", type=int, default=1)
-    p.add_argument("--motion", default="strafe")
+    p.add_argument("--motion", default="strafe",
+                   help="synthetic trajectory: strafe/forward/rotation/"
+                        "mav (6-DoF EuRoC-like)/static")
+    p.add_argument("--scene", default="room",
+                   choices=["room", "primitives"],
+                   help="synthetic scene family: room (closed surfaces) "
+                        "or primitives (occluding boxes/spheres — depth "
+                        "discontinuities)")
     p.add_argument("--texture-gain", type=float, default=1.0,
                    help="synthetic: contrast scale about mid-gray "
                         "(0.15 = low-texture stress regime)")

@@ -174,3 +174,39 @@ def test_stats_file_writer(tmp_path):
     assert set(data.keys()) == set(STATS_COLUMNS)
     assert data["idx"].tolist() == [0.0, 1.0]
     assert data["num_vtx"][1] == 101
+
+
+def test_mav_trajectory_excites_all_dof():
+    """motion='mav' (BASELINE config 3 stand-in): every translation and
+    rotation axis carries real excursion, with EuRoC-V1-like magnitudes
+    (aggressive roll/pitch + forward excursion + yaw)."""
+    from flame_ros_tpu.datasets.synthetic import make_trajectory
+    from flame_ros_tpu.geometry.se3 import SE3
+    poses = make_trajectory(120, motion="mav")
+    taus = np.asarray(poses.log())
+    span = taus.max(axis=0) - taus.min(axis=0)
+    # tx, ty, tz, pitch, yaw, roll all move.
+    assert (span[:3] > 0.25).all(), f"translation spans {span[:3]}"
+    assert (span[3:] > 0.2).all(), f"rotation spans {span[3:]}"
+    # Inter-frame motion stays trackable (< 2 deg, < 4 cm at 120 frames).
+    rel = np.asarray(SE3(poses.q[:-1], poses.t[:-1]).inverse().compose(
+        SE3(poses.q[1:], poses.t[1:])).log())
+    assert np.abs(rel[:, 3:]).max() < np.radians(2.0)
+    assert np.linalg.norm(rel[:, :3], axis=1).max() < 0.04
+
+
+def test_primitives_scene_has_depth_discontinuities():
+    """scene='primitives': a second, independent generator family. GT
+    depth must contain real occlusion steps (> 0.5 m jumps between
+    adjacent pixels), full coverage, and per-frame photometric
+    consistency (the same world point renders the same gray)."""
+    from flame_ros_tpu.datasets.synthetic import make_sequence, QVGA
+    seq = make_sequence(n_frames=3, cam=QVGA, scene="primitives")
+    d = seq.depths[0]
+    assert (d > 0).mean() > 0.99
+    jumps = np.abs(np.diff(d, axis=0))
+    assert jumps.max() > 0.5, "no depth discontinuities"
+    assert (jumps > 0.5).sum() > 100, "too few occlusion-boundary pixels"
+    # Images textured (not flat) and in range.
+    assert seq.images[0].std() > 20.0
+    assert seq.images[0].min() >= 0.0 and seq.images[0].max() <= 255.0

@@ -557,3 +557,26 @@ def test_timing_keys_reset_between_paths(seq):
     rec = eng.stats().to_record(11, 0.0)
     assert rec["update_locking_ms"] == 0.0  # reset on the plain path
     assert rec["dispatch_pf_ms"] == 0.0     # split inactive (no deferred)
+
+
+def test_display_filters_improve_accuracy_at_occlusions():
+    """On the primitives scene (real depth discontinuities), the
+    reference's display filters (oblique-triangle / long-edge /
+    min-idepth, src/flame_nodelet.cc:644-715) must measurably clean the
+    dense map: triangles bridging fore/background get filtered, so the
+    FILTERED map beats the raw map decisively on abs_rel and delta1."""
+    import jax.numpy as jnp
+    from flame_ros_tpu.eval.metrics import depth_metrics
+    seq = make_sequence(n_frames=40, cam=QVGA, scene="primitives")
+    engine = _run(seq, FlameParams(), n=40)
+    gt = jnp.asarray(seq.depths[39], jnp.float32)
+    raw = jnp.asarray(engine.get_inverse_depth_map())
+    filt = jnp.asarray(engine.get_filtered_inverse_depth_map())
+    mr = {k: float(v) for k, v in depth_metrics(raw, gt).items()}
+    mf = {k: float(v) for k, v in depth_metrics(filt, gt).items()}
+    # Meaningful scene coverage in both maps.
+    assert float(jnp.isfinite(raw).mean()) > 0.6
+    assert float(jnp.isfinite(filt).mean()) > 0.3
+    assert mf["abs_rel"] < 0.6 * mr["abs_rel"], (mr, mf)
+    assert mf["delta1"] > mr["delta1"] + 0.05, (mr, mf)
+    assert mf["delta1"] > 0.85, mf
