@@ -219,6 +219,31 @@ class EngineParams:
     # than gathers off-TPU). None = auto by backend.
     nltgv2_adjoint: str | None = None
 
+    # --- Spatial graph partitioning (SURVEY §5.7-5.8: mesh blocks
+    # sharded across devices with halo exchange of boundary primals) ---
+    # Number of vertical-strip partitions of the Delaunay graph the
+    # NLTGV2 sweep shards over (parallel/spatial_pd.py, wired into the
+    # product multi-stream step by MultiStreamRunner(spatial_parts=P)).
+    # 1 = off (single-device sweep, the single-chip product default).
+    # Requires max_features % spatial_parts == 0.
+    spatial_parts: int = 1
+    # Static halo budget H: owned-vertex slots exported per (part, ring
+    # offset) pair per sweep. Must bound the partition's true boundary
+    # size for every install (overflow raises at triangulation time).
+    # Measured boundary at V=2048/P=4 vertical strips: ~64 (SCALING_r03).
+    spatial_halo_budget: int = 128
+    # Static per-part edge budget El (owned + replicated boundary
+    # edges). 0 = auto: 1.75 * max_edges / spatial_parts + 128, rounded
+    # up to a multiple of 8 — headroom over a balanced partition; a
+    # pathologically unbalanced install raises rather than recompiling.
+    spatial_edge_budget: int = 0
+
+    def spatial_edge_budget_resolved(self) -> int:
+        if self.spatial_edge_budget:
+            return self.spatial_edge_budget
+        el = 1.75 * self.max_edges / max(self.spatial_parts, 1) + 128
+        return -(-int(el) // 8) * 8
+
     @property
     def max_triangles(self) -> int:
         return 2 * self.max_features

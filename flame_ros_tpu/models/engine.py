@@ -474,6 +474,33 @@ DEVICE_STATS_KEYS = (
 )
 
 
+def _smooth_pd_setup(state: EngineState, *, params: FlameParams):
+    """Per-frame masks + data weights feeding the NLTGV2 sweep. Shared by
+    the fused single-device path (_smooth_step) and the spatially sharded
+    multi-stream path (parallel/multi_stream.batched_full_step_spatial),
+    so both see the identical edge set and data term.
+
+    Stale-topology gate (see EngineState.topo_frame_id): a slot
+    re-detected AFTER the topology install is a different feature at an
+    unrelated pixel — triangles/edges referencing it are masked until
+    the next install. Dead-but-unrecycled slots keep rendering (their
+    projected ghost geometry is the established FLaME stale-mesh
+    behavior); only identity changes are poisonous, both for geometry
+    and for the Pallas raster's candidate budgets (a jumped corner
+    creates spurious long-extent triangles that trip the in-graph v2
+    fallback, costing several ms/frame)."""
+    nl = params.regularization.nltgv2
+    v_same = state.feat.frame_id <= state.topo_frame_id
+    tri_fresh = state.tri_valid & v_same[state.tris].all(-1)
+    edge_fresh = state.edge_valid & v_same[state.edges].all(-1)
+    lam = reg_ops.data_weights(
+        state.feat.var, state.vtx_in_graph,
+        data_factor=nl.data_factor,
+        adaptive=nl.adaptive_data_weights,
+        rescale=nl.rescale_data)
+    return tri_fresh, edge_fresh, lam
+
+
 @partial(jax.jit, static_argnames=("cam", "params", "has_gt",
                                    "dense_products"))
 def _smooth_step(state: EngineState, img_pyr, cur_q, cur_t, track_counts,
@@ -488,29 +515,13 @@ def _smooth_step(state: EngineState, img_pyr, cur_q, cur_t, track_counts,
     eng = params.engine
 
     vtx_x, vtx_w, edge_q = state.vtx_x, state.vtx_w, state.edge_q
-    # Stale-topology gate (see EngineState.topo_frame_id): a slot
-    # re-detected AFTER the topology install is a different feature at an
-    # unrelated pixel — triangles/edges referencing it are masked until
-    # the next install. Dead-but-unrecycled slots keep rendering (their
-    # projected ghost geometry is the established FLaME stale-mesh
-    # behavior); only identity changes are poisonous, both for geometry
-    # and for the Pallas raster's candidate budgets (a jumped corner
-    # creates spurious long-extent triangles that trip the in-graph v2
-    # fallback, costing several ms/frame).
-    v_same = state.feat.frame_id <= state.topo_frame_id
-    tri_fresh = state.tri_valid & v_same[state.tris].all(-1)
-    edge_fresh = state.edge_valid & v_same[state.edges].all(-1)
+    tri_fresh, edge_fresh, lam = _smooth_pd_setup(state, params=params)
     costs = {}
     if reg.do_nltgv2:
         top = reg_ops.build_topology(state.edges, edge_fresh,
                                      state.vtx_uv,
                                      inc_edges=state.inc_edges,
                                      inc_sign=state.inc_sign)
-        lam = reg_ops.data_weights(
-            state.feat.var, state.vtx_in_graph,
-            data_factor=nl.data_factor,
-            adaptive=nl.adaptive_data_weights,
-            rescale=nl.rescale_data)
         gs = reg_ops.GraphState(x=vtx_x, w=vtx_w, q=edge_q,
                                 x_bar=vtx_x, w_bar=vtx_w)
         # MXU adjoint (TPU default): K^T as one matmul per sweep against
@@ -532,6 +543,24 @@ def _smooth_step(state: EngineState, img_pyr, cur_q, cur_t, track_counts,
         vtx_x, vtx_w, edge_q = gs.x, gs.w, gs.q
     else:
         vtx_x = jnp.where(state.vtx_in_graph, state.vtx_z, vtx_x)
+    return _smooth_finish(
+        state, img_pyr, cur_q, cur_t, track_counts, gt_depth,
+        vtx_x, vtx_w, edge_q, costs, tri_fresh, edge_fresh,
+        cam=cam, params=params, has_gt=has_gt,
+        dense_products=dense_products)
+
+
+def _smooth_finish(state: EngineState, img_pyr, cur_q, cur_t, track_counts,
+                   gt_depth, vtx_x, vtx_w, edge_q, costs, tri_fresh,
+                   edge_fresh, *, cam: Pinhole, params: FlameParams,
+                   has_gt: bool, dense_products: bool):
+    """Everything after the NLTGV2 sweep: graph filters, sticky-obstacle
+    guard, rasterization, photometric telemetry, health word, packed
+    stats. Factored out so the spatially sharded sweep
+    (parallel/multi_stream.py) re-enters the identical tail."""
+    reg = params.regularization
+    nl = reg.nltgv2
+    eng = params.engine
 
     if reg.do_median_filter:
         vtx_x = reg_ops.graph_median(vtx_x, state.inc_edges,

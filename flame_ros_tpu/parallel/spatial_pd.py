@@ -373,6 +373,162 @@ def pd_iterate_spatial(mesh: Mesh, part_dev, xw, q, z, lam, vmask,
     return sharded(pt, xw, q, z, lam, vmask)
 
 
+@partial(jax.jit, static_argnames=("mesh", "stream_axis", "part_axis",
+                                   "num_iters", "theta", "gate_tol",
+                                   "unroll"))
+def pd_iterate_spatial_batched(mesh: Mesh, parts: SpatialPartition,
+                               xw, q, edge_live, z, lam, vmask, *,
+                               stream_axis: str = "stream",
+                               part_axis: str = "part",
+                               num_iters: int = 10, theta: float = 1.0,
+                               gate_tol: float = 0.0, unroll: int = 10):
+    """Multi-stream product-path variant of `pd_iterate_spatial`: the
+    NLTGV2 sweep of `models.engine._smooth_step`, sharded over a
+    ("stream", "part") mesh (SURVEY §5.7-5.8; the engine integration
+    lives in parallel/multi_stream.batched_full_step_spatial).
+
+    Differences from the single-stream op above:
+    - leading stream axis on every array (xw [S, P, Vl, 3], q
+      [S, P, El, 3], z/lam/vmask [S, P, Vl]; `parts` arrays [S, P, ...]),
+      sharded over `stream_axis`; halo ppermutes ride `part_axis` only,
+      so each stream shard's part group exchanges independently;
+    - `edge_live` [S, P, El]: the per-frame stale-topology mask
+      (engine._smooth_pd_setup edge_fresh, gathered to part layout).
+      Masked edges get alpha = beta = 0 and zeroed duals — identical
+      semantics to `reg_ops.build_topology` on the unsharded path;
+    - `gate_tol` > 0 reproduces the engine's convergence-gated sweeps:
+      per-stream max-|dx| deltas (pmax over the part group) drive a
+      batched while-loop with per-stream select masking — the same
+      semantics jax gives the vmapped gated `pd_iterate`.
+    """
+    Pn = mesh.shape[part_axis]
+
+    specs = SpatialPartition(
+        vtx_order=P(stream_axis, part_axis, None), vtx_part=None,
+        vtx_slot=None,
+        edges_l=P(stream_axis, part_axis, None, None),
+        edge_valid_l=P(stream_axis, part_axis, None),
+        edge_gid=P(stream_axis, part_axis, None),
+        export_idx=P(stream_axis, part_axis, None, None),
+        dp=P(stream_axis, part_axis, None, None),
+        alpha=P(stream_axis, part_axis, None),
+        beta=P(stream_axis, part_axis, None),
+        inc_edges=P(stream_axis, part_axis, None, None),
+        inc_sign=P(stream_axis, part_axis, None, None))
+    spec_v3 = P(stream_axis, part_axis, None, None)
+    spec_v = P(stream_axis, part_axis, None)
+
+    def run(pt: SpatialPartition, xw, q, el, z, lam, vmask):
+        # Blocks arrive [Sl, 1, ...]: squeeze the part dim, vmap one
+        # sweep over the local stream block (collectives batch fine).
+        sq = lambda a: a[:, 0]
+        edges = sq(pt.edges_l)
+        exp_idx = sq(pt.export_idx)
+        inc_e, inc_s = sq(pt.inc_edges), sq(pt.inc_sign)
+        elf = sq(el).astype(xw.dtype)
+        alpha = sq(pt.alpha) * elf            # per-frame stale masking:
+        beta = sq(pt.beta) * elf              # matches build_topology's
+        dp = sq(pt.dp)                        # where(edge_fresh, 1/d, 0)
+        xw, q = sq(xw), sq(q)
+        z, lam, vmask = sq(z), sq(lam), sq(vmask)
+
+        def sweep(edges, exp_idx, inc_e, inc_s, alpha, beta, dp, elf,
+                  z, lam, vmask, xw, xwb, q):
+            sigma, tau_x, tau_w = _local_precond(alpha, beta, dp,
+                                                 inc_e, inc_s)
+            tau_xw = jnp.concatenate([tau_x[:, None], tau_w], -1)
+            thr = tau_x * lam
+            vm3 = vmask.astype(xw.dtype)[:, None]
+            i, j = edges[:, 0], edges[:, 1]
+            live = (inc_s != 0).astype(xw.dtype)
+            tail = (inc_s > 0).astype(xw.dtype)
+            dp_inc = dp[inc_e] * live[..., None]
+
+            blocks = [xwb]
+            for r in range(1, Pn):
+                buf = xwb[exp_idx[r - 1]]
+                perm = [(s, (s + r) % Pn) for s in range(Pn)]
+                blocks.append(jax.lax.ppermute(buf, part_axis, perm))
+            xwb_ext = jnp.concatenate(blocks, axis=0)
+
+            pi_, pj_ = xwb_ext[i], xwb_ext[j]
+            k1 = (alpha * (pi_[:, 0] - pj_[:, 0])
+                  - alpha * dp[:, 0] * pi_[:, 1]
+                  - alpha * dp[:, 1] * pi_[:, 2])
+            kw = beta[:, None] * (pi_[:, 1:] - pj_[:, 1:])
+            Kx = jnp.concatenate([k1[:, None], kw], -1)
+            q = jnp.clip(q + sigma * Kx, -1.0, 1.0) * elf[:, None]
+            Pq = jnp.concatenate([(alpha * q[:, 0])[:, None],
+                                  beta[:, None] * q[:, 1:]], -1)
+            Pv = Pq[inc_e]
+            gx = jnp.sum(live * inc_s * Pv[..., 0], -1)
+            gw = jnp.sum(
+                tail[..., None] * (-Pv[..., 0:1] * dp_inc + Pv[..., 1:])
+                - ((live - tail)[..., None]) * Pv[..., 1:], axis=1)
+            g = jnp.concatenate([gx[:, None], gw], -1)
+            xw_desc = xw - tau_xw * g
+            r_ = xw_desc[:, 0] - z
+            x_new = z + jnp.sign(r_) * jnp.maximum(jnp.abs(r_) - thr, 0.0)
+            xw_new = jnp.concatenate([x_new[:, None], xw_desc[:, 1:]], -1)
+            xw_new = vm3 * xw_new + (1 - vm3) * xw
+            xwb_new = xw_new + theta * (xw_new - xw)
+            delta = jnp.max(jnp.abs(xw_new[:, 0] - xw[:, 0]))
+            return xw_new, xwb_new, q, delta
+
+        sweep_v = jax.vmap(sweep, in_axes=(0,) * 14)
+        consts = (edges, exp_idx, inc_e, inc_s, alpha, beta, dp, elf,
+                  z, lam, vmask)
+
+        if gate_tol > 0.0:
+            Sl = xw.shape[0]
+
+            def wcond(c):
+                k, *_ , delta = c
+                return jnp.any((k < num_iters) & (delta > gate_tol))
+
+            # Mark loop scalars varying over BOTH mesh axes up front:
+            # pmax makes delta part-invariant while the data carries are
+            # part-varying, and while_loop requires carry vma types to
+            # match exactly.
+            vary = lambda a: jax.lax.pcast(
+                a, (stream_axis, part_axis), to="varying")
+            vary_p = lambda a: jax.lax.pcast(a, part_axis, to="varying")
+
+            def wbody(c):
+                k, xw, xwb, q, delta = c
+                act = (k < num_iters) & (delta > gate_tol)     # [Sl]
+                nxw, nxwb, nq, nd = sweep_v(*consts, xw, xwb, q)
+                nd = vary_p(jax.lax.pmax(nd, part_axis))       # [Sl]
+                m3 = act[:, None, None]
+                xw = jnp.where(m3, nxw, xw)
+                xwb = jnp.where(m3, nxwb, xwb)
+                q = jnp.where(m3, nq, q)
+                delta = jnp.where(act, nd, delta)
+                return (k + act.astype(jnp.int32), xw, xwb, q, delta)
+
+            _, xw, xwb, q, _ = jax.lax.while_loop(
+                wcond, wbody,
+                (vary(jnp.zeros((Sl,), jnp.int32)), xw, xw, q,
+                 vary(jnp.full((Sl,), jnp.inf, jnp.float32))))
+        else:
+            def body(_, c):
+                xw, xwb, q = c
+                nxw, nxwb, nq, _ = sweep_v(*consts, xw, xwb, q)
+                return (nxw, nxwb, nq)
+
+            xw, xwb, q = jax.lax.fori_loop(
+                0, num_iters, body, (xw, xw, q),
+                unroll=min(num_iters, max(unroll, 1)))
+        return xw[:, None], q[:, None]
+
+    sharded = jax.shard_map(
+        run, mesh=mesh,
+        in_specs=(specs, spec_v3, spec_v3, spec_v, spec_v, spec_v, spec_v),
+        out_specs=(spec_v3, spec_v3))
+    pt = parts._replace(vtx_part=None, vtx_slot=None)
+    return sharded(pt, xw, q, edge_live, z, lam, vmask)
+
+
 def shard_partition(mesh: Mesh, part: SpatialPartition,
                     axis: str = "part") -> SpatialPartition:
     """Place the partition's arrays on the mesh, leading dim sharded."""

@@ -158,3 +158,82 @@ def test_partition_is_spatially_coherent(graph):
                 sent = part.export_idx[s, r - 1]
                 nonadj = max(nonadj, int((sent > 0).sum()))
     assert nonadj <= H // 2
+
+
+def _batched_setup(n_streams, n_parts, stale_frac=0.0, seed0=3):
+    """Per-stream graphs (same topology, different z/duals/stale masks)
+    in both global and partitioned layouts."""
+    edges, ev, uv, vvalid, n_live = _random_delaunay(seed=seed0)
+    V = len(uv)
+    inc_e, inc_s, keep = reg.build_incidence(edges, ev, V, max_degree=16)
+    ev = ev & keep
+    part = sp.build_spatial_partition(edges, ev, uv, vvalid, n_parts)
+    rng = np.random.default_rng(7)
+    zs, lams, fresh = [], [], []
+    for s in range(n_streams):
+        zs.append(np.where(vvalid, rng.uniform(0.2, 2.0, V),
+                           0.0).astype(np.float32))
+        lams.append(np.where(vvalid, 1.0, 0.0).astype(np.float32))
+        f = ev.copy()
+        if stale_frac > 0:
+            ids = np.flatnonzero(ev)
+            kill = rng.choice(ids, int(len(ids) * stale_frac),
+                              replace=False)
+            f[kill] = False
+        fresh.append(f)
+    return (edges, ev, uv, vvalid, inc_e, inc_s, part,
+            np.stack(zs), np.stack(lams), np.stack(fresh))
+
+
+@pytest.mark.parametrize("gate_tol", [0.0, 1e-4])
+def test_spatial_pd_batched_matches_vmapped_unsharded(gate_tol):
+    """The product-path sweep (stream x part mesh, per-frame stale-edge
+    masks, optional convergence gate) vs the engine's vmapped unsharded
+    pd_iterate with build_topology staleness masking."""
+    S, Pn = 2, 2
+    (edges, ev, uv, vvalid, inc_e, inc_s, part,
+     zs, lams, fresh) = _batched_setup(S, Pn, stale_frac=0.15)
+    V, E = len(uv), len(edges)
+
+    def ref_one(z, lam, f):
+        top = reg.build_topology(jnp.asarray(edges), jnp.asarray(f),
+                                 jnp.asarray(uv),
+                                 inc_edges=jnp.asarray(inc_e),
+                                 inc_sign=jnp.asarray(inc_s))
+        gs = reg.GraphState(x=z, w=jnp.zeros((V, 2), jnp.float32),
+                            q=jnp.zeros((E, 3), jnp.float32),
+                            x_bar=z, w_bar=jnp.zeros((V, 2), jnp.float32))
+        return reg.pd_iterate(gs, top, z, lam, jnp.asarray(vvalid), None,
+                              num_iters=10, gate_tol=gate_tol)
+
+    ref = jax.vmap(ref_one)(jnp.asarray(zs), jnp.asarray(lams),
+                            jnp.asarray(fresh))
+
+    mesh = Mesh(np.asarray(jax.devices()[:S * Pn]).reshape(S, Pn),
+                ("stream", "part"))
+    parts_b = jax.tree.map(
+        lambda a: jnp.broadcast_to(jnp.asarray(a)[None],
+                                   (S,) + a.shape), part)
+    pv = jax.vmap(lambda x: jnp.asarray(sp.partition_vertex(part, x)))
+    xw0 = np.zeros((S, V, 3), np.float32)
+    xw0[:, :, 0] = zs
+    gid = np.maximum(part.edge_gid, 0)
+    el = np.stack([fresh[s][gid] & part.edge_valid_l for s in range(S)])
+    xw_s, q_s = sp.pd_iterate_spatial_batched(
+        mesh, parts_b, pv(jnp.asarray(xw0)),
+        jnp.zeros((S,) + part.edge_gid.shape + (3,), jnp.float32),
+        jnp.asarray(el), pv(jnp.asarray(zs)), pv(jnp.asarray(lams)),
+        pv(jnp.asarray(np.broadcast_to(vvalid, (S, V)))),
+        num_iters=10, gate_tol=gate_tol)
+
+    for s in range(S):
+        x_back = np.asarray(sp.unpartition_vertex(part, xw_s[s]))
+        q_back = np.asarray(sp.unpartition_edges(part, q_s[s], E))
+        live = np.asarray(vvalid)
+        np.testing.assert_allclose(x_back[live, 0],
+                                   np.asarray(ref.x)[s][live], atol=2e-6)
+        np.testing.assert_allclose(x_back[live, 1:],
+                                   np.asarray(ref.w)[s][live], atol=2e-6)
+        m = fresh[s]
+        np.testing.assert_allclose(q_back[m], np.asarray(ref.q)[s][m],
+                                   atol=2e-6)
