@@ -34,10 +34,17 @@ from flame_ros_tpu.models import engine as eng_mod
 from flame_ros_tpu.models.engine import EngineState, init_state
 
 
-def make_mesh(devices=None, stream_axis: int | None = None) -> Mesh:
-    """Build a ("stream", "feat") mesh over the given devices."""
+def make_mesh(devices=None, stream_axis: int | None = None,
+              parts: int = 1) -> Mesh:
+    """Build a ("stream", "feat") mesh over the given devices — or a
+    ("stream", "part") mesh when `parts` > 1 (spatial graph partitioning:
+    the NLTGV2 sweep shards over vertical mesh strips with halo exchange
+    instead of lane-arbitrary feat sharding; see state_shardings)."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
+    if parts > 1:
+        arr = np.asarray(devices).reshape(n // parts, parts)
+        return Mesh(arr, ("stream", "part"))
     if stream_axis is None:
         # Default: pure stream-dp. Feature-axis model sharding measured
         # UNPROFITABLE for throughput (bench_scaling feat_axis_speedup =
@@ -55,10 +62,18 @@ def make_mesh(devices=None, stream_axis: int | None = None) -> Mesh:
 def state_shardings(mesh: Mesh) -> EngineState:
     """PartitionSpecs for a stream-batched EngineState: leading axis =
     stream (dp); feature/edge/triangle axes = feat (mp); images/keyframes
-    replicated within a stream's device group."""
+    replicated within a stream's device group.
+
+    On a ("stream", "part") mesh (spatial partitioning) the state is
+    replicated over the part group: the sweep's vertex/edge layout is
+    the SpatialPartition tree (runner.parts), not lane splits of the
+    state — lane-arbitrary feat sharding of the graph arrays is exactly
+    the measured-unprofitable all-gather variant the spatial path
+    replaces (SCALING_r03 feat_axis_speedup 0.555)."""
     s = lambda *axes: NamedSharding(mesh, P(*axes))
-    feat_1d = s("stream", "feat")
-    feat_2d = s("stream", "feat", None)
+    lane = "feat" if "feat" in mesh.axis_names else None
+    feat_1d = s("stream", lane)
+    feat_2d = s("stream", lane, None)
     repl = s("stream")
     return EngineState(
         feat=eng_mod.ep_ops.FeatureFilterState(
@@ -66,12 +81,12 @@ def state_shardings(mesh: Mesh) -> EngineState:
             dropouts=feat_1d, valid=feat_1d, frame_id=feat_1d),
         vtx_uv=feat_2d, vtx_x=feat_1d, vtx_w=feat_2d, vtx_z=feat_1d,
         vtx_in_graph=feat_1d,
-        edge_q=s("stream", "feat", None),
-        edges=s("stream", "feat", None),
+        edge_q=feat_2d,
+        edges=feat_2d,
         edge_valid=feat_1d,
-        inc_edges=s("stream", "feat", None),
-        inc_sign=s("stream", "feat", None),
-        tris=s("stream", "feat", None),
+        inc_edges=feat_2d,
+        inc_sign=feat_2d,
+        tris=feat_2d,
         tri_valid=feat_1d,
         kf_pyrs=s("stream", None, None, None, None),
         kf_q=s("stream", None, None), kf_t=s("stream", None, None),
@@ -157,6 +172,112 @@ def batched_full_step(states: EngineState, packed, gt_batch, *,
     return jax.vmap(one)(states, packed, gt_batch)
 
 
+@partial(jax.jit, static_argnames=("cam", "params", "is_pf", "has_gt",
+                                   "mesh"))
+def batched_full_step_spatial(states: EngineState, parts, packed, gt_batch,
+                              *, cam: Pinhole, params: FlameParams,
+                              is_pf: bool, has_gt: bool, mesh: Mesh):
+    """`batched_full_step` with the NLTGV2 sweep sharded over the spatial
+    graph partition (SURVEY §5.7-5.8: "mesh blocks sharded ... with halo
+    exchange of boundary vertices/dual variables", run by the PRODUCT
+    engine step, not a standalone op).
+
+    parts: SpatialPartition tree with leading [S, P, ...] axes (built at
+    topology-install time next to the Delaunay — _HostTopologyBuilder),
+    sharded over ("stream", "part"). The track step and the smooth tail
+    (raster, photo telemetry, stats) run replicated over each stream's
+    part group; the sweep — the graph-global iteration — runs
+    partitioned with one halo exchange per sweep. Layout conversions
+    (global <-> partitioned) are two gathers + two scatters per FRAME;
+    the unprofitable feat-axis variant paid an all-gather per SWEEP.
+    """
+    from flame_ros_tpu.ops import nltgv2 as reg_ops
+    from flame_ros_tpu.parallel.spatial_pd import pd_iterate_spatial_batched
+    H, W = cam.height, cam.width
+    eng = params.engine
+    nl = params.regularization.nltgv2
+
+    def track_one(state, row, gt):
+        img = row[:H * W].reshape(H, W).astype(jnp.float32)
+        meta = jax.lax.bitcast_convert_type(
+            row[H * W:].reshape(eng_mod.META_LEN, 4), jnp.float32)
+        cur_q = meta[:4]
+        cur_t = meta[4:7]
+        frame_id = meta[7].astype(jnp.int32)
+        kf_slot = meta[9].astype(jnp.int32)
+        from flame_ros_tpu.ops.pyramid import build_pyramid
+        img_pyr = build_pyramid(img, eng_mod.NUM_LEVELS)
+        state, status, uv_match, counts_vec, dets = \
+            eng_mod._track_step.__wrapped__(
+                state, img_pyr, cur_q, cur_t, frame_id, kf_slot, is_pf,
+                eng_mod._ZERO_IMG(cam), cam=cam, params=params,
+                use_truth=False)
+        return state, img_pyr, cur_q, cur_t, counts_vec
+
+    states, img_pyrs, qs, ts, counts = jax.vmap(track_one)(
+        states, packed, gt_batch)
+
+    tri_fresh, edge_fresh, lam = jax.vmap(
+        partial(eng_mod._smooth_pd_setup, params=params))(states)
+
+    # --- global -> partitioned layout (per frame, vmapped gathers) -----
+    xw = jnp.concatenate([states.vtx_x[..., None], states.vtx_w], -1)
+    gv = jax.vmap(lambda a, o: a[o])            # [S,N,...][S,P,Vl]->[S,P,Vl,...]
+    xw_p = gv(xw, parts.vtx_order)
+    uv_p = gv(states.vtx_uv, parts.vtx_order)
+    z_p = gv(states.vtx_z, parts.vtx_order)
+    lam_p = gv(lam, parts.vtx_order)
+    vm_p = gv(states.vtx_in_graph, parts.vtx_order)
+    gid = jnp.maximum(parts.edge_gid, 0)
+    q_p = gv(states.edge_q, gid) * parts.edge_valid_l[..., None]
+    el = gv(edge_fresh, gid) & parts.edge_valid_l
+
+    xw_p, q_p = pd_iterate_spatial_batched(
+        mesh, parts, xw_p, q_p, el, uv_p, z_p, lam_p, vm_p,
+        num_iters=eng.pd_iters_per_frame, theta=nl.theta,
+        gate_tol=eng.pd_gate_tol)
+
+    # --- partitioned -> global (vmapped permutation scatters) ----------
+    N = states.vtx_x.shape[-1]
+    E = states.edge_q.shape[-2]
+
+    def scatter_v(xp, order):
+        flat = order.reshape(-1)
+        return jnp.zeros((N, 3), xp.dtype).at[flat].set(
+            xp.reshape(-1, 3))
+
+    def scatter_e(qp, g):
+        idx = jnp.where(g.reshape(-1) >= 0, g.reshape(-1), E)
+        return jnp.zeros((E, 3), qp.dtype).at[idx].set(
+            qp.reshape(-1, 3), mode="drop")
+
+    xw_g = jax.vmap(scatter_v)(xw_p, parts.vtx_order)
+    vtx_x, vtx_w = xw_g[..., 0], xw_g[..., 1:]
+    edge_q = jax.vmap(scatter_e)(q_p, parts.edge_gid)
+
+    # --- telemetry costs + the identical smooth tail --------------------
+    def finish_one(state, img_pyr, cur_q, cur_t, cv, gt, x, w, q,
+                   tf, ef):
+        top = reg_ops.build_topology(state.edges, ef, state.vtx_uv,
+                                     inc_edges=state.inc_edges,
+                                     inc_sign=state.inc_sign)
+        lam1 = reg_ops.data_weights(
+            state.feat.var, state.vtx_in_graph,
+            data_factor=nl.data_factor,
+            adaptive=nl.adaptive_data_weights, rescale=nl.rescale_data)
+        gs = reg_ops.GraphState(x=x, w=w, q=q, x_bar=x, w_bar=w)
+        costs = reg_ops.nltgv2_costs(gs, top, state.vtx_z, lam1,
+                                     state.vtx_in_graph)
+        state, idepth, stats_vec = eng_mod._smooth_finish(
+            state, img_pyr, cur_q, cur_t, cv, gt, x, w, q, costs, tf, ef,
+            cam=cam, params=params, has_gt=has_gt, dense_products=True)
+        return state, (idepth, stats_vec)
+
+    return jax.vmap(finish_one)(states, img_pyrs, qs, ts, counts,
+                                gt_batch, vtx_x, vtx_w, edge_q,
+                                tri_fresh, edge_fresh)
+
+
 @partial(jax.jit, static_argnames=("T", "E", "N", "D"))
 def _batched_install(states: EngineState, bufs, *, T: int, E: int,
                      N: int, D: int):
@@ -204,6 +325,23 @@ class MultiStreamRunner:
         # make_array_from_callback — the multi-host TPU flow where each
         # host feeds and triangulates its own streams.
         self.multiprocess = jax.process_count() > 1
+        # Spatial graph partitioning (engine.spatial_parts > 1 on a
+        # ("stream", "part") mesh): the NLTGV2 sweep inside the product
+        # step runs pd_iterate_spatial_batched over per-stream partitions
+        # rebuilt at every topology install (self.parts). Until the
+        # first install there is no partition — the plain step runs.
+        sp = self.params.engine.spatial_parts
+        self.spatial = bool(sp > 1 and mesh is not None
+                            and "part" in mesh.axis_names)
+        if sp > 1 and not self.spatial:
+            raise ValueError(
+                "engine.spatial_parts > 1 requires a ('stream','part') "
+                "mesh (make_mesh(parts=N))")
+        if self.spatial and mesh.shape["part"] != sp:
+            raise ValueError(
+                f"mesh part axis {mesh.shape['part']} != "
+                f"engine.spatial_parts {sp}")
+        self.parts = None
         # Deferred mode (mirrors Flame.deferred_triangulation): the
         # poseframe D2H + S Delaunay builds run on the worker pool while
         # the NEXT frames' dispatches proceed; topology installs one
@@ -323,9 +461,16 @@ class MultiStreamRunner:
                 self._gt_zero = self._put_rows(
                     np.zeros((self.S, H, W), np.float32))
             gt_dev = self._gt_zero
-        self.states, (idepth, stats) = batched_full_step(
-            self.states, packed_dev, gt_dev, cam=self.cam,
-            params=self.params, is_pf=is_pf, has_gt=has_gt)
+        if self.spatial and self.parts is not None \
+                and self.params.regularization.do_nltgv2:
+            self.states, (idepth, stats) = batched_full_step_spatial(
+                self.states, self.parts, packed_dev, gt_dev, cam=self.cam,
+                params=self.params, is_pf=is_pf, has_gt=has_gt,
+                mesh=self.mesh)
+        else:
+            self.states, (idepth, stats) = batched_full_step(
+                self.states, packed_dev, gt_dev, cam=self.cam,
+                params=self.params, is_pf=is_pf, has_gt=has_gt)
         self.last_idepth = idepth
         self.last_stats = stats
         self._frame_count += 1
@@ -394,6 +539,7 @@ class MultiStreamRunner:
              vtx_in_graph.astype(jnp.float32)], axis=1)
         self._ensure_pool()
         builder = _HostTopologyBuilder(self.params)
+        spatial = self.params.engine.spatial_parts if self.spatial else 0
         if self.multiprocess:
             rows = {}
             for shard in buf_dev.addressable_shards:
@@ -405,16 +551,64 @@ class MultiStreamRunner:
             topos = list(self._tri_pool.map(
                 lambda s: builder.build(
                     rows[s][:2 * N].reshape(N, 2), rows[s][2 * N:] > 0.5,
-                    wm), ids))
+                    wm, spatial_parts=spatial), ids))
             return dict(zip(ids, topos))
         buf = np.asarray(buf_dev)
         uv = buf[:, :2 * N].reshape(self.S, N, 2)
         elig = buf[:, 2 * N:] > 0.5
-        topos = list(self._tri_pool.map(
-            lambda s: builder.build(uv[s], elig[s], wm), range(self.S)))
-        return np.stack(topos)
+        built = list(self._tri_pool.map(
+            lambda s: builder.build(uv[s], elig[s], wm,
+                                    spatial_parts=spatial),
+            range(self.S)))
+        if not spatial:
+            return np.stack([t for t, _ in built])
+        parts = jax.tree.map(lambda *xs: np.stack(xs),
+                             *[p for _, p in built])
+        return np.stack([t for t, _ in built]), parts
+
+    def _part_shardings(self):
+        """NamedShardings for the batched [S, P, ...] partition tree."""
+        from flame_ros_tpu.parallel.spatial_pd import SpatialPartition
+        s = lambda nd: NamedSharding(
+            self.mesh, P("stream", "part", *([None] * nd)))
+        return SpatialPartition(
+            vtx_order=s(1), vtx_part=None, vtx_slot=None,
+            edges_l=s(2), edge_valid_l=s(1), edge_gid=s(1),
+            export_idx=s(2), dp=s(2), alpha=s(1), beta=s(1),
+            inc_edges=s(2), inc_sign=s(2))
+
+    def _install_parts(self, parts):
+        """Place the freshly built per-stream partitions on the mesh.
+        parts: stacked SpatialPartition ([S, P, ...] numpy) or
+        {stream: SpatialPartition} in multi-controller mode."""
+        from flame_ros_tpu.parallel.spatial_pd import SpatialPartition
+        sh = self._part_shardings()
+        vals = {}
+        for f in SpatialPartition._fields:
+            shard = getattr(sh, f)
+            if shard is None:
+                vals[f] = None
+                continue
+            if isinstance(parts, dict):
+                one = np.asarray(getattr(next(iter(parts.values())), f))
+                vals[f] = jax.make_array_from_callback(
+                    (self.S,) + one.shape, shard,
+                    lambda idx, f=f: np.stack(
+                        [np.asarray(getattr(parts[s], f))[idx[1:]]
+                         for s in range(*idx[0].indices(self.S))]))
+            else:
+                vals[f] = jax.device_put(
+                    jnp.asarray(getattr(parts, f)), shard)
+        self.parts = SpatialPartition(**vals)
 
     def _install_topologies(self, bufs):
+        parts = None
+        if isinstance(bufs, tuple):
+            bufs, parts = bufs
+        if isinstance(bufs, dict) and isinstance(
+                next(iter(bufs.values())), tuple):
+            parts = {s: p for s, (_, p) in bufs.items()}
+            bufs = {s: t for s, (t, _) in bufs.items()}
         if isinstance(bufs, dict):
             # Multi-controller: this process supplies only its local
             # streams' topologies; the callback runs per addressable
@@ -433,6 +627,10 @@ class MultiStreamRunner:
         self.states = _batched_install(
             self.states, bufs_dev, T=e.max_triangles, E=e.max_edges,
             N=e.max_features, D=e.max_vertex_degree)
+        if parts is not None and (not isinstance(parts, dict)
+                                  or next(iter(parts.values()))
+                                  is not None):
+            self._install_parts(parts)
 
     def _pull_rows(self, arr) -> dict[int, np.ndarray]:
         """{stream_id: row} for every stream this process addresses."""
@@ -518,7 +716,12 @@ class _HostTopologyBuilder:
         self.params = params
 
     def build(self, uv: np.ndarray, eligible: np.ndarray,
-              watermark: int = 2 ** 30) -> np.ndarray:
+              watermark: int = 2 ** 30, spatial_parts: int = 0):
+        """Returns (packed_topology, spatial_partition | None). The
+        partition is rebuilt HERE — at install time, next to the
+        Delaunay, from the exact degree-filtered edge set the installed
+        sweep will see — with static budgets from config so the sharded
+        step never recompiles across installs."""
         from flame_ros_tpu.graph.delaunay import (triangulate,
                                                   edges_from_triangles)
         from flame_ros_tpu.ops import nltgv2 as reg_ops
@@ -544,8 +747,18 @@ class _HostTopologyBuilder:
         inc_e, inc_s, keep = reg_ops.build_incidence(
             edges_pad, ev, N, e.max_vertex_degree)
         ev &= keep
-        return np.concatenate([
+        packed = np.concatenate([
             tris_pad.ravel(), tv.astype(np.int32),
             edges_pad.ravel(), ev.astype(np.int32),
             inc_e.ravel(), inc_s.astype(np.int32).ravel(),
             np.asarray([watermark], np.int32)])
+        part = None
+        if spatial_parts > 1:
+            from flame_ros_tpu.parallel.spatial_pd import \
+                build_spatial_partition
+            part = build_spatial_partition(
+                edges_pad, ev, uv, eligible, spatial_parts,
+                halo_budget=e.spatial_halo_budget,
+                edge_budget=e.spatial_edge_budget_resolved(),
+                max_degree=e.max_vertex_degree)
+        return packed, part

@@ -377,7 +377,7 @@ def pd_iterate_spatial(mesh: Mesh, part_dev, xw, q, z, lam, vmask,
                                    "num_iters", "theta", "gate_tol",
                                    "unroll"))
 def pd_iterate_spatial_batched(mesh: Mesh, parts: SpatialPartition,
-                               xw, q, edge_live, z, lam, vmask, *,
+                               xw, q, edge_live, uv, z, lam, vmask, *,
                                stream_axis: str = "stream",
                                part_axis: str = "part",
                                num_iters: int = 10, theta: float = 1.0,
@@ -396,6 +396,13 @@ def pd_iterate_spatial_batched(mesh: Mesh, parts: SpatialPartition,
       (engine._smooth_pd_setup edge_fresh, gathered to part layout).
       Masked edges get alpha = beta = 0 and zeroed duals — identical
       semantics to `reg_ops.build_topology` on the unsharded path;
+    - `uv` [S, P, Vl, 2]: CURRENT vertex pixel positions (owned slots,
+      state.vtx_uv gathered by vtx_order). Graph vertices RE-PROJECT
+      every frame, so per-edge geometry (dp, alpha, beta) is rebuilt
+      here per frame — one extra halo exchange of positions before the
+      sweep loop — exactly as the unsharded path rebuilds
+      build_topology from state.vtx_uv each frame. The install-time
+      parts.dp/alpha/beta fields are NOT used on this path;
     - `gate_tol` > 0 reproduces the engine's convergence-gated sweeps:
       per-stream max-|dx| deltas (pmax over the part group) drive a
       batched while-loop with per-stream select masking — the same
@@ -418,7 +425,7 @@ def pd_iterate_spatial_batched(mesh: Mesh, parts: SpatialPartition,
     spec_v3 = P(stream_axis, part_axis, None, None)
     spec_v = P(stream_axis, part_axis, None)
 
-    def run(pt: SpatialPartition, xw, q, el, z, lam, vmask):
+    def run(pt: SpatialPartition, xw, q, el, uv, z, lam, vmask):
         # Blocks arrive [Sl, 1, ...]: squeeze the part dim, vmap one
         # sweep over the local stream block (collectives batch fine).
         sq = lambda a: a[:, 0]
@@ -426,11 +433,26 @@ def pd_iterate_spatial_batched(mesh: Mesh, parts: SpatialPartition,
         exp_idx = sq(pt.export_idx)
         inc_e, inc_s = sq(pt.inc_edges), sq(pt.inc_sign)
         elf = sq(el).astype(xw.dtype)
-        alpha = sq(pt.alpha) * elf            # per-frame stale masking:
-        beta = sq(pt.beta) * elf              # matches build_topology's
-        dp = sq(pt.dp)                        # where(edge_fresh, 1/d, 0)
-        xw, q = sq(xw), sq(q)
+        xw, q, uv = sq(xw), sq(q), sq(uv)
         z, lam, vmask = sq(z), sq(lam), sq(vmask)
+
+        # Per-frame edge geometry from CURRENT positions (one halo
+        # exchange of uv, loop-invariant): dp raw, alpha/beta masked by
+        # the live set — bit-matching reg_ops.build_topology.
+        def geom(exp_idx, uv, edges, elf):
+            blocks = [uv]
+            for r in range(1, Pn):
+                buf = uv[exp_idx[r - 1]]
+                perm = [(s, (s + r) % Pn) for s in range(Pn)]
+                blocks.append(jax.lax.ppermute(buf, part_axis, perm))
+            uv_ext = jnp.concatenate(blocks, axis=0)
+            dpv = uv_ext[edges[:, 0]] - uv_ext[edges[:, 1]]
+            dist = jnp.linalg.norm(dpv, axis=-1)
+            inv = jnp.where(elf > 0, 1.0 / jnp.maximum(dist, 1.0), 0.0)
+            return dpv, inv
+
+        dp, alpha = jax.vmap(geom)(exp_idx, uv, edges, elf)
+        beta = alpha
 
         def sweep(edges, exp_idx, inc_e, inc_s, alpha, beta, dp, elf,
                   z, lam, vmask, xw, xwb, q):
@@ -482,33 +504,48 @@ def pd_iterate_spatial_batched(mesh: Mesh, parts: SpatialPartition,
         if gate_tol > 0.0:
             Sl = xw.shape[0]
 
-            def wcond(c):
-                k, *_ , delta = c
-                return jnp.any((k < num_iters) & (delta > gate_tol))
-
             # Mark loop scalars varying over BOTH mesh axes up front:
-            # pmax makes delta part-invariant while the data carries are
-            # part-varying, and while_loop requires carry vma types to
+            # pmax makes values axis-invariant while the data carries
+            # stay varying, and while_loop requires carry vma types to
             # match exactly.
             vary = lambda a: jax.lax.pcast(
                 a, (stream_axis, part_axis), to="varying")
-            vary_p = lambda a: jax.lax.pcast(a, part_axis, to="varying")
+            vary_a = lambda a, ax: jax.lax.pcast(a, ax, to="varying")
+
+            def wcond(c):
+                cont, *_ = c
+                return cont > 0
 
             def wbody(c):
-                k, xw, xwb, q, delta = c
+                cont, k, xw, xwb, q, delta = c
                 act = (k < num_iters) & (delta > gate_tol)     # [Sl]
                 nxw, nxwb, nq, nd = sweep_v(*consts, xw, xwb, q)
-                nd = vary_p(jax.lax.pmax(nd, part_axis))       # [Sl]
+                nd = vary_a(jax.lax.pmax(nd, part_axis), part_axis)
                 m3 = act[:, None, None]
                 xw = jnp.where(m3, nxw, xw)
                 xwb = jnp.where(m3, nxwb, xwb)
                 q = jnp.where(m3, nq, q)
                 delta = jnp.where(act, nd, delta)
-                return (k + act.astype(jnp.int32), xw, xwb, q, delta)
+                k = k + act.astype(jnp.int32)
+                # The trip decision must be UNIFORM across the WHOLE
+                # mesh: the halo collective inside the loop body is one
+                # program-wide op, so any group exiting early deadlocks
+                # the rest (XLA CPU rendezvous requires all devices;
+                # TPU would mismatch collective counts). pmax over the
+                # stream axis makes all devices loop together;
+                # converged streams keep looping as masked no-ops —
+                # exactly the semantics vmap gives the unsharded gated
+                # sweep.
+                more = jnp.any((k < num_iters) & (delta > gate_tol))
+                cont = vary_a(
+                    jax.lax.pmax(more.astype(jnp.int32), stream_axis),
+                    stream_axis)
+                return (cont, k, xw, xwb, q, delta)
 
-            _, xw, xwb, q, _ = jax.lax.while_loop(
+            _, _, xw, xwb, q, _ = jax.lax.while_loop(
                 wcond, wbody,
-                (vary(jnp.zeros((Sl,), jnp.int32)), xw, xw, q,
+                (vary(jnp.int32(1)), vary(jnp.zeros((Sl,), jnp.int32)),
+                 xw, xw, q,
                  vary(jnp.full((Sl,), jnp.inf, jnp.float32))))
         else:
             def body(_, c):
@@ -523,10 +560,11 @@ def pd_iterate_spatial_batched(mesh: Mesh, parts: SpatialPartition,
 
     sharded = jax.shard_map(
         run, mesh=mesh,
-        in_specs=(specs, spec_v3, spec_v3, spec_v, spec_v, spec_v, spec_v),
+        in_specs=(specs, spec_v3, spec_v3, spec_v, spec_v3, spec_v,
+                  spec_v, spec_v),
         out_specs=(spec_v3, spec_v3))
     pt = parts._replace(vtx_part=None, vtx_slot=None)
-    return sharded(pt, xw, q, edge_live, z, lam, vmask)
+    return sharded(pt, xw, q, edge_live, uv, z, lam, vmask)
 
 
 def shard_partition(mesh: Mesh, part: SpatialPartition,

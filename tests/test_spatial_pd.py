@@ -219,10 +219,14 @@ def test_spatial_pd_batched_matches_vmapped_unsharded(gate_tol):
     xw0[:, :, 0] = zs
     gid = np.maximum(part.edge_gid, 0)
     el = np.stack([fresh[s][gid] & part.edge_valid_l for s in range(S)])
+    uv_b = np.broadcast_to(uv, (S,) + uv.shape)
+    uv_p = jnp.stack([jnp.asarray(sp.partition_vertex(part, uv_b[s]))
+                      for s in range(S)])
     xw_s, q_s = sp.pd_iterate_spatial_batched(
         mesh, parts_b, pv(jnp.asarray(xw0)),
         jnp.zeros((S,) + part.edge_gid.shape + (3,), jnp.float32),
-        jnp.asarray(el), pv(jnp.asarray(zs)), pv(jnp.asarray(lams)),
+        jnp.asarray(el), uv_p, pv(jnp.asarray(zs)),
+        pv(jnp.asarray(lams)),
         pv(jnp.asarray(np.broadcast_to(vvalid, (S, V)))),
         num_iters=10, gate_tol=gate_tol)
 
