@@ -835,6 +835,17 @@ class Flame:
         # compute (see _dispatch_packed). Only meaningful (and only on)
         # when triangulation is deferred.
         self.split_pf_dispatch = deferred_triangulation
+        # Deferred-triangulation D2H transport: "worker" (default) pulls
+        # the packed (uv, in_graph) snapshot on the tri worker thread —
+        # its own link round-trip per poseframe; "probe" hands the
+        # snapshot out through completion_probe()/deliver_probe() so a
+        # driver that already pulls a per-window completion probe (the
+        # sustained streaming loop's bounded-latency gate) makes the
+        # snapshot ride THAT pull — zero extra link transfers
+        # (VERDICT r3 item 3: tri_d2h_occ was the binding constraint).
+        self.tri_d2h = "worker"
+        self._pending_probe = None   # (device buf, Future) awaiting pull
+        self._probe_timeout = 2.0    # worker fallback if never delivered
         self._pending_tri = deque()  # in-flight deferred jobs, oldest first
         self._tri_dropped = 0  # retriangulations skipped under link pressure
         # Occupancy accounting for the sustained-streaming bench: seconds
@@ -1367,11 +1378,19 @@ class Flame:
         # same graceful-degradation stance as the reference's drop-on-
         # full frame queue (thread_safe_queue.h:70-83). "block" waits
         # and guarantees every poseframe's topology installs, in order.
-        if len(self._pending_tri) >= _MAX_TRI_INFLIGHT:
+        # Probe transport: a scheduled job spends its first few windows
+        # parked on the probe Future, consuming NO link bandwidth — the
+        # backpressure bound must cover the driver's probe-delivery
+        # distance (typically 4 windows) plus the build, or every
+        # poseframe inside that pipeline drops (measured: 98/148 drops
+        # with the worker-mode bound of 2).
+        limit = (_MAX_TRI_INFLIGHT if self.tri_d2h != "probe"
+                 else _MAX_TRI_INFLIGHT + 6)
+        if len(self._pending_tri) >= limit:
             if self.tri_backpressure == "drop":
                 self._tri_dropped += 1
                 return
-            while len(self._pending_tri) >= _MAX_TRI_INFLIGHT:
+            while len(self._pending_tri) >= limit:
                 fut = self._pending_tri.popleft()
                 buf = fut.result()
                 if isinstance(buf, np.ndarray):
@@ -1394,11 +1413,32 @@ class Flame:
 
         wm = self._max_frame_id
 
+        snap_fut = None
+        if self.tri_d2h == "probe":
+            # The snapshot rides the driver's next completion-probe pull
+            # instead of its own D2H. If a newer poseframe overwrites an
+            # undelivered probe, the old job falls back to its own pull
+            # after _probe_timeout (the data is still on device).
+            from concurrent.futures import Future
+            snap_fut = Future()
+            self._pending_probe = (buf_h, snap_fut)
+
         def job():
             t0 = time_mod.perf_counter()
-            buf = np.asarray(buf_h)
+            buf = None
+            if snap_fut is not None:
+                try:
+                    buf = snap_fut.result(timeout=self._probe_timeout)
+                    self.perf["tri_wait_s"] = (
+                        self.perf.get("tri_wait_s", 0.0)
+                        + time_mod.perf_counter() - t0)
+                except Exception:
+                    buf = None  # undelivered probe -> own pull below
+                t0 = time_mod.perf_counter()
+            if buf is None:
+                buf = np.asarray(buf_h)
+                self.perf["tri_d2h_s"] += time_mod.perf_counter() - t0
             t1 = time_mod.perf_counter()
-            self.perf["tri_d2h_s"] += t1 - t0
             topo = self._build_topology_host(
                 buf[:2 * N].reshape(N, 2), buf[2 * N:] > 0.5, wm)
             self.perf["tri_host_s"] += time_mod.perf_counter() - t1
@@ -1409,6 +1449,27 @@ class Flame:
             return jax.device_put(topo)
 
         self._pending_tri.append(self._tri_pool.submit(job))
+
+    # -- completion-probe transport (tri_d2h == "probe") -----------------
+    def completion_probe(self):
+        """(device_array, token) whose pull forces the last dispatched
+        work to complete — the bounded-latency gate a streaming driver
+        already pays one link RTT for per window. On poseframe windows
+        in tri_d2h="probe" mode the array IS the packed triangulation
+        snapshot, so the same pull feeds the deferred Delaunay; pass
+        the pulled host array back via deliver_probe(token, host_buf).
+        NOTE: the snapshot depends only on the poseframe frame's
+        compute, so the completion bound gains up to one window of
+        slack (the NEXT window's probe transitively forces the rest)."""
+        if self._pending_probe is not None:
+            dev, fut = self._pending_probe
+            self._pending_probe = None
+            return dev, fut
+        return self.state.vtx_x[:1], None
+
+    def deliver_probe(self, token, host_buf) -> None:
+        if token is not None and not token.done():
+            token.set_result(np.asarray(host_buf))
 
     def _build_topology_host(self, uv: np.ndarray, eligible: np.ndarray,
                              watermark: int = 2 ** 30):

@@ -86,3 +86,35 @@ def test_exposure_stress_zero_mean_ssd_ab(capsys):
     assert b["idepth_rmse"] < a["idepth_rmse"], (a, b)
     assert b["recall"] > a["recall"], (a, b)
     assert b["abs_rel"] < a["abs_rel"], (a, b)
+
+
+@pytest.mark.acceptance
+def test_mav_motion_vga200(capsys):
+    """BASELINE config 3 stand-in (EuRoC V1 MAV motion): all six DoF
+    excited at once — roll/pitch oscillation + forward excursion +
+    vertical bob + yaw pan. Recorded (PARITY.md): rmse 0.0642, recall
+    0.773, coverage 0.876, delta1 0.916 (2026-08-19)."""
+    s = _run(capsys, "--motion", "mav")
+    assert s["failed"] == 0 and s["frames"] == 200
+    assert s["idepth_rmse"] < 0.09, s
+    assert s["precision"] > 0.95, s
+    assert s["recall"] > 0.70, s
+    assert s["coverage"] > 0.80, s
+    assert s["delta1"] > 0.85, s
+
+
+@pytest.mark.acceptance
+def test_primitives_scene_vga200(capsys):
+    """Second, independent scene family (occluding boxes + spheres —
+    real depth discontinuities; de-correlates the acceptance numbers
+    from the room generator). Raw-map gates; the display filters'
+    decisive improvement at the occlusion boundaries is gated
+    separately in test_engine.py. Recorded (PARITY.md): rmse 0.0698,
+    recall 0.874, coverage 0.941, abs_rel 0.099 (2026-08-19)."""
+    s = _run(capsys, "--scene", "primitives")
+    assert s["failed"] == 0 and s["frames"] == 200
+    assert s["idepth_rmse"] < 0.10, s
+    assert s["precision"] > 0.95, s
+    assert s["recall"] > 0.80, s
+    assert s["coverage"] > 0.88, s
+    assert s["abs_rel"] < 0.15, s

@@ -580,3 +580,41 @@ def test_display_filters_improve_accuracy_at_occlusions():
     assert mf["abs_rel"] < 0.6 * mr["abs_rel"], (mr, mf)
     assert mf["delta1"] > mr["delta1"] + 0.05, (mr, mf)
     assert mf["delta1"] > 0.85, mf
+
+
+def test_probe_snapshot_transport_matches_worker(seq):
+    """tri_d2h='probe': the deferred triangulation's vertex snapshot
+    rides the caller's completion-probe pull instead of its own D2H
+    (the sustained-streaming transport). Topology installed through the
+    probe path must be identical to the worker-pull path."""
+    params = _small_params()
+
+    def drive(mode):
+        eng = Flame(seq.cam.width, seq.cam.height, cam=seq.cam,
+                    params=params, deferred_triangulation=True)
+        eng.tri_d2h = mode
+        for w in range(3):
+            frames = [(seq.timestamps[i], i,
+                       SE3(seq.poses.q[i], seq.poses.t[i]),
+                       seq.images[i], i % 6 == 0)
+                      for i in range(6 * w, 6 * w + 6)]
+            assert eng.update_window(frames)
+            if mode == "probe":
+                p, tok = eng.completion_probe()
+                eng.deliver_probe(tok, np.asarray(p))
+        # Let in-flight jobs land, then force the final install.
+        eng._apply_pending_triangulation(block=True)
+        return eng
+
+    a = drive("probe")
+    b = drive("worker")
+    np.testing.assert_array_equal(np.asarray(a.state.tris),
+                                  np.asarray(b.state.tris))
+    np.testing.assert_array_equal(np.asarray(a.state.tri_valid),
+                                  np.asarray(b.state.tri_valid))
+    np.testing.assert_array_equal(np.asarray(a.state.edges),
+                                  np.asarray(b.state.edges))
+    np.testing.assert_array_equal(np.asarray(a.state.topo_frame_id),
+                                  np.asarray(b.state.topo_frame_id))
+    assert a._tri_dropped == 0
+    a.shutdown(); b.shutdown()
