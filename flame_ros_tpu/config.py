@@ -194,7 +194,14 @@ class EngineParams:
     photo_stride: int = 4
     # Brightness-offset-invariant epipolar matching (zero-mean SSD):
     # turn on for auto-exposure cameras (e.g. TUM RGB-D); off preserves
-    # the reference's raw-SSD behavior.
+    # the reference's raw-SSD behavior. DEFAULT DECIDED BY RECORDED A/B
+    # (round 4, VGA/200-frame acceptance protocol, PARITY.md): under
+    # exposure churn zms wins 3.8x rmse — but on constant-exposure
+    # regimes the patch MEAN is itself discriminative and discarding it
+    # costs ~2x rmse (easy 0.030->0.062, low-texture 0.028->0.064) and
+    # 3.4x on rotation-pan (0.029->0.100, delta1 0.96->0.68), where the
+    # short-baseline search needs every cue. So the default stays OFF
+    # (reference parity); flip it per-camera when exposure hunts.
     zero_mean_ssd: bool = False
     # Hand-scheduled Pallas raster kernel. None = auto: on for TPU
     # backends (the product default — it is the fastest raster in the
