@@ -26,7 +26,8 @@ import time
 
 
 def main(pid: int, nproc: int, port: int, n_frames: int = 13,
-         bench: bool = False, single: bool = False) -> None:
+         bench: bool = False, single: bool = False,
+         spatial: bool = False) -> None:
     import jax
     if not single:
         jax.distributed.initialize(f"127.0.0.1:{port}", nproc, pid)
@@ -44,6 +45,19 @@ def main(pid: int, nproc: int, port: int, n_frames: int = 13,
         # in ONE process (launcher sets the host device count).
         devs = jax.devices()[:nproc]
         assert len(devs) == nproc, (len(devs), nproc)
+        mesh = Mesh(np.asarray(devs).reshape(nproc, 1),
+                    ("stream", "feat"))
+    elif spatial:
+        # Multi-host + spatial partitioning at once: each process owns
+        # one stream ROW of 2 local part-devices — the NLTGV2 halo
+        # ppermutes stay host-local (ICI-analog) while the topology
+        # install crosses the process boundary (SURVEY §5.8 in full).
+        by_proc: dict = {}
+        for d in jax.devices():
+            by_proc.setdefault(d.process_index, []).append(d)
+        rows = [by_proc[p][:2] for p in sorted(by_proc)]
+        assert len(rows) == nproc and all(len(r) == 2 for r in rows)
+        mesh = Mesh(np.asarray(rows), ("stream", "part"))
     else:
         # One device per process on the stream axis: each process owns
         # one stream end-to-end (ingest, triangulation, products), all
@@ -53,11 +67,13 @@ def main(pid: int, nproc: int, port: int, n_frames: int = 13,
             by_proc.setdefault(d.process_index, d)
         devs = [by_proc[p] for p in sorted(by_proc)]
         assert len(devs) == nproc, (len(devs), nproc)
-    mesh = Mesh(np.asarray(devs).reshape(nproc, 1), ("stream", "feat"))
+        mesh = Mesh(np.asarray(devs).reshape(nproc, 1),
+                    ("stream", "feat"))
 
     params = FlameParams.from_dict({
         "engine": {"max_features": 512, "max_keyframes": 4,
-                   "pd_iters_per_frame": 30},
+                   "pd_iters_per_frame": 30,
+                   **({"spatial_parts": 2} if spatial else {})},
         "input": {"poseframe_subsample_factor": 6},
     })
     seq = make_sequence(n_frames=14, cam=QVGA, motion="strafe")
@@ -110,7 +126,10 @@ def main(pid: int, nproc: int, port: int, n_frames: int = 13,
     uv, x, tris = meshes[0]
     assert len(tris) >= 1 and np.isfinite(x).all()
     assert stats and stats[0]["coverage"] > 0.3
-    print(f"DIST_E2E_OK pid={pid} nproc={nproc} frames={n_frames} "
+    if spatial:
+        assert runner.spatial and runner.parts is not None
+    tag = "DIST_E2E_SPATIAL_OK" if spatial else "DIST_E2E_OK"
+    print(f"{tag} pid={pid} nproc={nproc} frames={n_frames} "
           f"pf_rounds={(n_frames + 5) // 6} cov={m.mean():.3f} "
           f"med_err={med:.4f} tris={len(tris)}", flush=True)
 
@@ -135,4 +154,5 @@ if __name__ == "__main__":
     main(int(args[0]), int(args[1]), int(args[2]),
          int(args[3]) if len(args) > 3 else 13,
          bench="--bench" in sys.argv,
-         single="--single" in sys.argv)
+         single="--single" in sys.argv,
+         spatial="--spatial" in sys.argv)

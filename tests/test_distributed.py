@@ -69,3 +69,16 @@ def test_two_process_end_to_end_runner():
                         "DIST_E2E_OK", 1, extra=("13",))
     for out in outs:
         assert "pf_rounds=3" in out, out[-2000:]
+
+
+def test_two_process_spatial_partition_runner():
+    """Multi-host + spatial partitioning at once (SURVEY §5.8 complete):
+    2 processes x 2 local part-devices each — the NLTGV2 sweep runs
+    halo-exchange sharded inside each process's part group while the
+    per-process Delaunay + partition builds install across the process
+    boundary (the multi-controller make_array_from_callback path)."""
+    outs = _run_workers("flame_ros_tpu.parallel.dist_e2e",
+                        "DIST_E2E_SPATIAL_OK", 2,
+                        extra=("13", "--spatial"))
+    for out in outs:
+        assert "pf_rounds=3" in out, out[-2000:]
