@@ -271,6 +271,69 @@ class SyntheticSequence:
         return self.images.shape[0]
 
 
+def export_asl(seq: "SyntheticSequence", root: str,
+               depth_scale: float = 5000.0) -> None:
+    """Write a sequence as a EuRoC/ASL folder tree (mav0-style: cam0 +
+    depth0 + state_groundtruth_estimate0, sensor.yaml + data.csv + PNG
+    data folders) so the FULL ASL pipeline — folder reader, timestamp
+    association, T_BS chain, world-frame conversion, rectification —
+    can be driven end-to-end on exact-GT data (reference analog: the
+    Docker demo's downloaded V1_01_easy, scripts/Dockerfile:46-52;
+    here zero-egress environments generate their own). Poses are
+    camera-to-world RDF with identity T_BS, so load with
+    world_frame="RDF". Depth is uint16 / depth_scale (0.2 mm
+    quantization at the default 5000)."""
+    import os
+
+    import cv2
+    import yaml
+
+    cam = seq.cam
+    cam0 = os.path.join(root, "cam0")
+    depth0 = os.path.join(root, "depth0")
+    pose0 = os.path.join(root, "state_groundtruth_estimate0")
+    for d in (cam0, depth0):
+        os.makedirs(os.path.join(d, "data"), exist_ok=True)
+    os.makedirs(pose0, exist_ok=True)
+    eye = np.eye(4)
+    yaml_T = {"rows": 4, "cols": 4, "data": eye.ravel().tolist()}
+    with open(os.path.join(cam0, "sensor.yaml"), "w") as f:
+        yaml.dump({"sensor_type": "camera", "T_BS": yaml_T,
+                   "intrinsics": [cam.fx, cam.fy, cam.cx, cam.cy],
+                   "resolution": [cam.width, cam.height],
+                   "distortion_coefficients": [0.0, 0.0, 0.0, 0.0]}, f)
+    with open(os.path.join(depth0, "sensor.yaml"), "w") as f:
+        yaml.dump({"sensor_type": "depth", "T_BS": yaml_T,
+                   "depth_scale_factor": float(depth_scale)}, f)
+    with open(os.path.join(pose0, "sensor.yaml"), "w") as f:
+        yaml.dump({"sensor_type": "visual-inertial", "T_BS": yaml_T}, f)
+    cam_rows, depth_rows, pose_rows = [], [], []
+    q = np.asarray(seq.poses.q)
+    t = np.asarray(seq.poses.t)
+    for i in range(len(seq)):
+        ts = int(round(float(seq.timestamps[i]) * 1e9))
+        cv2.imwrite(os.path.join(cam0, "data", f"{ts}.png"),
+                    np.clip(seq.images[i], 0, 255).astype(np.uint8))
+        d16 = np.clip(seq.depths[i] * depth_scale, 0, 65535)
+        cv2.imwrite(os.path.join(depth0, "data", f"{ts}.png"),
+                    d16.astype(np.uint16))
+        cam_rows.append(f"{ts},{ts}.png")
+        depth_rows.append(f"{ts},{ts}.png")
+        pose_rows.append(
+            f"{ts},{float(t[i, 0]):.9f},{float(t[i, 1]):.9f},"
+            f"{float(t[i, 2]):.9f},{float(q[i, 0]):.9f},"
+            f"{float(q[i, 1]):.9f},{float(q[i, 2]):.9f},"
+            f"{float(q[i, 3]):.9f}")
+    hdr = "#timestamp [ns],filename\n"
+    with open(os.path.join(cam0, "data.csv"), "w") as f:
+        f.write(hdr + "\n".join(cam_rows) + "\n")
+    with open(os.path.join(depth0, "data.csv"), "w") as f:
+        f.write(hdr + "\n".join(depth_rows) + "\n")
+    with open(os.path.join(pose0, "data.csv"), "w") as f:
+        f.write("#timestamp,px,py,pz,qw,qx,qy,qz\n"
+                + "\n".join(pose_rows) + "\n")
+
+
 def make_sequence(n_frames: int = 30, cam: Pinhole = QVGA,
                   motion: str = "strafe", fps: float = 30.0,
                   texture_gain: float = 1.0,

@@ -118,3 +118,32 @@ def test_primitives_scene_vga200(capsys):
     assert s["recall"] > 0.80, s
     assert s["coverage"] > 0.88, s
     assert s["abs_rel"] < 0.15, s
+
+
+@pytest.mark.acceptance
+def test_asl_pipeline_mav_vga200(tmp_path, capsys):
+    """BASELINE config 3 at acceptance scale THROUGH THE ASL PIPELINE:
+    the synthetic MAV sequence exported as a EuRoC folder tree and run
+    via --dataset asl (folder reader, association, T_BS chain,
+    conversion), not fed directly — the full dataset->metrics path the
+    reference's flame_offline_asl runs on downloaded EuRoC."""
+    from flame_ros_tpu.datasets.synthetic import (export_asl,
+                                                  make_sequence, VGA)
+    seq = make_sequence(n_frames=200, cam=VGA, motion="mav")
+    root = tmp_path / "mav0"
+    export_asl(seq, str(root))
+    del seq
+    main(["--dataset", "asl",
+          "--pose-path", str(root / "state_groundtruth_estimate0"),
+          "--rgb-path", str(root / "cam0"),
+          "--depth-path", str(root / "depth0"),
+          "--world-frame", "RDF"])
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["frames"] == 200 and s["failed"] == 0
+    # Same gates as the direct-feed MAV regime (PARITY round-4 matrix):
+    # the pipeline (PNG quantization, uint16 depth, CSV poses) must not
+    # move the metrics materially.
+    assert s["idepth_rmse"] < 0.09, s
+    assert s["precision"] > 0.95, s
+    assert s["recall"] > 0.70, s
+    assert s["coverage"] > 0.80, s

@@ -166,3 +166,33 @@ def test_pose_noise_ablation(tmp_path, capsys):
     assert noisy["idepth_rmse"] > clean["idepth_rmse"]
     assert noisy["coverage"] > 0.3
     assert noisy["idepth_rmse"] < 10 * max(clean["idepth_rmse"], 0.01)
+
+
+def test_asl_pipeline_end_to_end_synthetic(tmp_path, capsys):
+    """BASELINE config 3 PIPELINE at small scale: export a synthetic
+    6-DoF MAV sequence as a EuRoC/ASL folder tree, then drive the full
+    ASL frontend over it (folder reader -> association -> T_BS chain ->
+    rectification -> engine -> GT stats). Closes 'ASL loader is
+    fixture-tested only' — this is the complete dataset->metrics path
+    the reference's flame_offline_asl runs on downloaded EuRoC."""
+    from flame_ros_tpu.datasets.synthetic import (export_asl,
+                                                  make_sequence, QVGA)
+    seq = make_sequence(n_frames=30, cam=QVGA, motion="mav")
+    root = tmp_path / "mav0"
+    export_asl(seq, str(root))
+    main(["--dataset", "asl",
+          "--pose-path", str(root / "state_groundtruth_estimate0"),
+          "--rgb-path", str(root / "cam0"),
+          "--depth-path", str(root / "depth0"),
+          "--world-frame", "RDF",
+          "--out", str(tmp_path / "out")])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    summary = json.loads(out)
+    assert summary["frames"] == 30
+    assert summary["failed"] == 0
+    assert summary["idepth_rmse"] is not None
+    assert summary["idepth_rmse"] < 0.12, summary
+    assert summary["recall"] > 0.4, summary
+    from flame_ros_tpu.eval.metrics import load_stats_file
+    stats = load_stats_file(str(tmp_path / "out" / "stats.txt"))
+    assert len(stats["idx"]) == 30
