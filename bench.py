@@ -189,8 +189,9 @@ def main():
         max_inflight = 4
         done_probe = []
         n_frames = 0
-        t0 = time.perf_counter()
-        while time.perf_counter() - t0 < seconds:
+        probe_wait = 0.0   # main-loop block on the in-flight bound: the
+        t0 = time.perf_counter()   # probe pull completes when the device
+        while time.perf_counter() - t0 < seconds:   # finishes the window
             pre = pending.pop(0)
             pending.append(engine.prefetch_window(window(s)))
             s += win_size
@@ -198,7 +199,10 @@ def main():
             done_probe.append(engine.completion_probe())
             if len(done_probe) > max_inflight:
                 p, tok = done_probe.pop(0)
-                engine.deliver_probe(tok, np.asarray(p))
+                tw = time.perf_counter()
+                parr = np.asarray(p)
+                probe_wait += time.perf_counter() - tw
+                engine.deliver_probe(tok, parr)
             n_frames += win_size
         for pre in pending:  # drain outstanding uploads; these frames
             engine.update_window(prefetched=pre)   # complete within the
@@ -213,6 +217,7 @@ def main():
         occ = {k[:-2] + "_occ": round(v / wall, 3)
                for k, v in engine.perf.items() if k.endswith("_s")}
         occ.update({
+            "probe_wait_occ": round(probe_wait / wall, 3),
             "fps": round(n_frames / wall, 2),
             "uploads": engine.perf["n_uploads"],
             "stale_windows": engine._stale_tri_windows,

@@ -334,6 +334,64 @@ def export_asl(seq: "SyntheticSequence", root: str,
                 + "\n".join(pose_rows) + "\n")
 
 
+def export_tum(seq: "SyntheticSequence", root: str,
+               depth_scale: float = 5000.0) -> tuple:
+    """Write a sequence as a TUM RGB-D dataset tree (rgb/ + depth/ PNG
+    folders, a pre-associated assoc.txt in the reference's
+    pose-rgb-depth line format, and a ROS CameraInfo calib.yaml) so the
+    FULL TUM pipeline — association-file parser, P-matrix calibration,
+    plumb-bob rectification, uint16/5000 depth scaling, frame
+    conversion — can be driven end-to-end on exact-GT data (reference
+    analog: flame_offline_tum on the downloaded fr3 sequences,
+    /root/reference/src/flame_offline_tum.cc:403-525 + README.md:117-127;
+    zero-egress environments generate their own). Poses are
+    camera-to-world RDF (load with --input-frame RDF); assoc.txt stores
+    quaternions in TUM xyzw order. Returns (assoc_path, calib_path)."""
+    import os
+
+    import cv2
+
+    cam = seq.cam
+    os.makedirs(os.path.join(root, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(root, "depth"), exist_ok=True)
+    q = np.asarray(seq.poses.q)   # (w, x, y, z)
+    t = np.asarray(seq.poses.t)
+    lines = []
+    for i in range(len(seq)):
+        ts = float(seq.timestamps[i])
+        name = f"{ts:.6f}.png"
+        cv2.imwrite(os.path.join(root, "rgb", name),
+                    np.clip(seq.images[i], 0, 255).astype(np.uint8))
+        d16 = np.clip(seq.depths[i] * depth_scale, 0, 65535)
+        cv2.imwrite(os.path.join(root, "depth", name),
+                    d16.astype(np.uint16))
+        lines.append(
+            f"{ts:.6f} {t[i, 0]:.9f} {t[i, 1]:.9f} {t[i, 2]:.9f} "
+            f"{q[i, 1]:.9f} {q[i, 2]:.9f} {q[i, 3]:.9f} {q[i, 0]:.9f} "
+            f"{ts:.6f} rgb/{name} {ts:.6f} depth/{name}")
+    assoc = os.path.join(root, "assoc.txt")
+    with open(assoc, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    calib = os.path.join(root, "calib.yaml")
+    K = [cam.fx, 0.0, cam.cx, 0.0, cam.fy, cam.cy, 0.0, 0.0, 1.0]
+    P = [cam.fx, 0.0, cam.cx, 0.0,
+         0.0, cam.fy, cam.cy, 0.0,
+         0.0, 0.0, 1.0, 0.0]
+    with open(calib, "w") as f:
+        f.write(
+            f"image_width: {cam.width}\n"
+            f"image_height: {cam.height}\n"
+            "camera_name: synthetic\n"
+            "camera_matrix: {rows: 3, cols: 3, data: "
+            f"{K}}}\n"
+            "distortion_model: plumb_bob\n"
+            "distortion_coefficients: {rows: 1, cols: 5, "
+            "data: [0, 0, 0, 0, 0]}\n"
+            "projection_matrix: {rows: 3, cols: 4, data: "
+            f"{P}}}\n")
+    return assoc, calib
+
+
 def make_sequence(n_frames: int = 30, cam: Pinhole = QVGA,
                   motion: str = "strafe", fps: float = 30.0,
                   texture_gain: float = 1.0,

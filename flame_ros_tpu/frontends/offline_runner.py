@@ -433,6 +433,12 @@ def _build_frames(args):
 
 
 def main(argv=None):
+    # CLI entry: honor the caller's JAX_PLATFORMS before any jax op —
+    # the axon sitecustomize otherwise hijacks a cpu request onto the
+    # remote TPU and the run silently reports the wrong backend's
+    # accuracy (utils/platform.py has the measured delta).
+    from flame_ros_tpu.utils.platform import pin_requested_platform
+    pin_requested_platform()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataset", choices=["tum", "asl", "synthetic"],
                    required=True)

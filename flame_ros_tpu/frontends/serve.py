@@ -169,6 +169,10 @@ class FlameServer:
 def main(argv=None):
     import argparse
 
+    # CLI entry: honor the caller's JAX_PLATFORMS (see utils/platform.py).
+    from flame_ros_tpu.utils.platform import pin_requested_platform
+    pin_requested_platform()
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=7447)

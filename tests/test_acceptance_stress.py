@@ -121,6 +121,31 @@ def test_primitives_scene_vga200(capsys):
 
 
 @pytest.mark.acceptance
+def test_tum_pipeline_vga200(tmp_path, capsys):
+    """BASELINE config 1 at acceptance scale THROUGH THE TUM PIPELINE:
+    the synthetic sequence exported as a TUM RGB-D tree and run via
+    --dataset tum (association-file parser, P-matrix calibration,
+    plumb-bob rectification, uint16/5000 depth scaling), not fed
+    directly — the full dataset->metrics path the reference's
+    flame_offline_tum runs on downloaded fr3 sequences."""
+    from flame_ros_tpu.datasets.synthetic import (export_tum,
+                                                  make_sequence, VGA)
+    seq = make_sequence(n_frames=200, cam=VGA)
+    assoc, calib = export_tum(seq, str(tmp_path / "tum"))
+    del seq
+    main(["--dataset", "tum", "--input", assoc, "--calib", calib])
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["frames"] == 200 and s["failed"] == 0
+    # Same gates as the direct-feed easy regime (tests/test_acceptance):
+    # the pipeline (PNG quantization, uint16 depth, text poses) must
+    # not move the metrics materially.
+    assert s["idepth_rmse"] < 0.05, s
+    assert s["precision"] > 0.95, s
+    assert s["recall"] > 0.80, s
+    assert s["coverage"] > 0.85, s
+
+
+@pytest.mark.acceptance
 def test_asl_pipeline_mav_vga200(tmp_path, capsys):
     """BASELINE config 3 at acceptance scale THROUGH THE ASL PIPELINE:
     the synthetic MAV sequence exported as a EuRoC folder tree and run

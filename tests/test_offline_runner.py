@@ -105,40 +105,17 @@ def _cfg(tmp_path):
 
 
 def test_runner_tum_dataset(tmp_path, rng, capsys):
-    """End-to-end through the TUM frontend on a synthetic-backed fixture:
-    render posed frames, write them as a TUM association tree, run the
-    CLI, check GT metrics come back sane."""
-    import cv2
-    from flame_ros_tpu.datasets.synthetic import make_sequence, QVGA
+    """End-to-end through the TUM frontend on a synthetic-backed tree:
+    render posed frames, export them as a TUM dataset (export_tum:
+    assoc.txt + calib.yaml + rgb/depth PNGs), run the CLI, check GT
+    metrics come back sane."""
+    from flame_ros_tpu.datasets.synthetic import (export_tum,
+                                                  make_sequence, QVGA)
     seq = make_sequence(n_frames=8, cam=QVGA)
-    d = tmp_path / "tum"
-    (d / "rgb").mkdir(parents=True)
-    (d / "depth").mkdir()
-    lines = []
-    for i in range(8):
-        cv2.imwrite(str(d / "rgb" / f"{i}.png"),
-                    np.clip(seq.images[i], 0, 255).astype(np.uint8))
-        cv2.imwrite(str(d / "depth" / f"{i}.png"),
-                    (seq.depths[i] * 5000).astype(np.uint16))
-        q = np.asarray(seq.poses.q[i])   # (w,x,y,z) -> TUM xyzw
-        t = np.asarray(seq.poses.t[i])
-        ts = seq.timestamps[i]
-        lines.append(
-            f"{ts:.4f} {t[0]} {t[1]} {t[2]} {q[1]} {q[2]} {q[3]} {q[0]} "
-            f"{ts:.4f} rgb/{i}.png {ts:.4f} depth/{i}.png")
-    (d / "assoc.txt").write_text("\n".join(lines) + "\n")
-    calib = d / "calib.yaml"
-    calib.write_text(
-        "image_width: 320\nimage_height: 240\ncamera_name: cam\n"
-        "camera_matrix: {rows: 3, cols: 3, data: "
-        "[262.5, 0, 159.5, 0, 262.5, 119.5, 0, 0, 1]}\n"
-        "distortion_model: plumb_bob\n"
-        "distortion_coefficients: {rows: 1, cols: 5, data: [0,0,0,0,0]}\n"
-        "projection_matrix: {rows: 3, cols: 4, data: "
-        "[262.5, 0, 159.5, 0, 0, 262.5, 119.5, 0, 0, 0, 1, 0]}\n")
+    assoc, calib = export_tum(seq, str(tmp_path / "tum"))
     out = tmp_path / "out"
-    main(["--dataset", "tum", "--input", str(d / "assoc.txt"),
-          "--calib", str(calib), "--out", str(out)])
+    main(["--dataset", "tum", "--input", assoc,
+          "--calib", calib, "--out", str(out)])
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["frames"] == 8
     assert summary["idepth_rmse"] is not None
