@@ -198,10 +198,10 @@ class EngineParams:
     # (round 4, VGA/200-frame acceptance protocol, PARITY.md): under
     # exposure churn zms wins 3.8x rmse — but on constant-exposure
     # regimes the patch MEAN is itself discriminative and discarding it
-    # costs ~2x rmse (easy 0.030->0.062, low-texture 0.028->0.064) and
-    # 3.4x on rotation-pan (0.029->0.100, delta1 0.96->0.68), where the
-    # short-baseline search needs every cue. So the default stays OFF
-    # (reference parity); flip it per-camera when exposure hunts.
+    # costs 1.3-1.6x rmse (easy 0.030->0.043, rotation 0.029->0.038,
+    # low-texture 0.028->0.045; delta1 0.96->0.93-0.96). So the default
+    # stays OFF (reference parity); flip it per-camera when exposure
+    # hunts.
     zero_mean_ssd: bool = False
     # Hand-scheduled Pallas raster kernel. None = auto: on for TPU
     # backends (the product default — it is the fastest raster in the

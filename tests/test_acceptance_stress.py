@@ -92,11 +92,11 @@ def test_exposure_stress_zero_mean_ssd_ab(capsys):
 def test_mav_motion_vga200(capsys):
     """BASELINE config 3 stand-in (EuRoC V1 MAV motion): all six DoF
     excited at once — roll/pitch oscillation + forward excursion +
-    vertical bob + yaw pan. Recorded (PARITY.md): rmse 0.0642, recall
-    0.773, coverage 0.876, delta1 0.916 (2026-08-19)."""
+    vertical bob + yaw pan. Recorded (PARITY.md): rmse 0.0364, recall
+    0.774, coverage 0.876, delta1 0.973 (2026-08-20, CPU backend)."""
     s = _run(capsys, "--motion", "mav")
     assert s["failed"] == 0 and s["frames"] == 200
-    assert s["idepth_rmse"] < 0.09, s
+    assert s["idepth_rmse"] < 0.06, s
     assert s["precision"] > 0.95, s
     assert s["recall"] > 0.70, s
     assert s["coverage"] > 0.80, s
@@ -109,11 +109,12 @@ def test_primitives_scene_vga200(capsys):
     real depth discontinuities; de-correlates the acceptance numbers
     from the room generator). Raw-map gates; the display filters'
     decisive improvement at the occlusion boundaries is gated
-    separately in test_engine.py. Recorded (PARITY.md): rmse 0.0698,
-    recall 0.874, coverage 0.941, abs_rel 0.099 (2026-08-19)."""
+    separately in test_engine.py. Recorded (PARITY.md): rmse 0.0566,
+    recall 0.881, coverage 0.944, abs_rel 0.063 (2026-08-20, CPU
+    backend)."""
     s = _run(capsys, "--scene", "primitives")
     assert s["failed"] == 0 and s["frames"] == 200
-    assert s["idepth_rmse"] < 0.10, s
+    assert s["idepth_rmse"] < 0.08, s
     assert s["precision"] > 0.95, s
     assert s["recall"] > 0.80, s
     assert s["coverage"] > 0.88, s
@@ -168,7 +169,7 @@ def test_asl_pipeline_mav_vga200(tmp_path, capsys):
     # Same gates as the direct-feed MAV regime (PARITY round-4 matrix):
     # the pipeline (PNG quantization, uint16 depth, CSV poses) must not
     # move the metrics materially.
-    assert s["idepth_rmse"] < 0.09, s
+    assert s["idepth_rmse"] < 0.06, s
     assert s["precision"] > 0.95, s
     assert s["recall"] > 0.70, s
     assert s["coverage"] > 0.80, s
