@@ -24,6 +24,7 @@ import numpy as np
 
 from flame_ros_tpu.geometry.camera import Pinhole
 from flame_ros_tpu.geometry.se3 import SE3
+from flame_ros_tpu.utils.precision import einsumh
 
 VGA = Pinhole(fx=525.0, fy=525.0, cx=319.5, cy=239.5, width=640, height=480)
 QVGA = Pinhole(fx=262.5, fy=262.5, cx=159.5, cy=119.5, width=320, height=240)
@@ -159,13 +160,13 @@ def render_frame(cam: Pinhole, pose_q, pose_t, scene: str = "room"):
     for (p0, n, tu_ax, tv_ax, eu, ev, seed) in planes:
         p0 = jnp.asarray(p0)
         n = jnp.asarray(n)
-        denom = jnp.einsum("hwc,c->hw", d_w, n)
-        s = jnp.einsum("c,c->", p0 - o_w, n) / jnp.where(
+        denom = einsumh("hwc,c->hw", d_w, n)
+        s = einsumh("c,c->", p0 - o_w, n) / jnp.where(
             jnp.abs(denom) < 1e-9, jnp.inf, denom)
         hit_w = o_w + s[..., None] * d_w
         rel = hit_w - p0
-        tu = jnp.einsum("hwc,c->hw", rel, jnp.asarray(tu_ax))
-        tv = jnp.einsum("hwc,c->hw", rel, jnp.asarray(tv_ax))
+        tu = einsumh("hwc,c->hw", rel, jnp.asarray(tu_ax))
+        tv = einsumh("hwc,c->hw", rel, jnp.asarray(tv_ax))
         inside = (jnp.abs(tu) <= eu) & (jnp.abs(tv) <= ev) & (s > 0.05)
         depth = jnp.where(inside, s, jnp.inf)
         closer = depth < best_depth
@@ -179,9 +180,9 @@ def render_frame(cam: Pinhole, pose_q, pose_t, scene: str = "room"):
             # (camera z = 1), so the hit parameter s IS the camera
             # z-depth — GT depth stays exact, as for the planes.
             oc = o_w - c
-            a = jnp.einsum("hwc,hwc->hw", d_w, d_w)
-            b = 2.0 * jnp.einsum("hwc,c->hw", d_w, oc)
-            c0 = jnp.einsum("c,c->", oc, oc) - r * r
+            a = einsumh("hwc,hwc->hw", d_w, d_w)
+            b = 2.0 * einsumh("hwc,c->hw", d_w, oc)
+            c0 = einsumh("c,c->", oc, oc) - r * r
             disc = b * b - 4.0 * a * c0
             s = (-b - jnp.sqrt(jnp.maximum(disc, 0.0))) / (2.0 * a)
             hit = (disc > 0.0) & (s > 0.05)

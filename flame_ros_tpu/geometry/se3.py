@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from flame_ros_tpu.utils.precision import einsumh
+
 
 class SE3(NamedTuple):
     """Batchable rigid transform. q: [..., 4] (w,x,y,z); t: [..., 3]."""
@@ -222,8 +224,8 @@ def _so3_left_jacobian_apply(omega, theta, v):
     th = jnp.where(small, 1.0, theta[..., 0])
     A = jnp.where(small, 0.5, (1 - jnp.cos(th)) / th**2)[..., None]
     B = jnp.where(small, 1.0 / 6.0, (th - jnp.sin(th)) / th**3)[..., None]
-    Wv = jnp.einsum("...ij,...j->...i", W, v)
-    WWv = jnp.einsum("...ij,...j->...i", W, Wv)
+    Wv = einsumh("...ij,...j->...i", W, v)
+    WWv = einsumh("...ij,...j->...i", W, Wv)
     return v + A * Wv + B * WWv
 
 
@@ -234,8 +236,8 @@ def _so3_left_jacobian_inv_apply(omega, theta, t):
     half = 0.5 * th
     cot_coef = (1.0 - half * jnp.cos(half) / jnp.sin(half)) / th**2
     C = jnp.where(small, 1.0 / 12.0, cot_coef)[..., None]
-    Wt = jnp.einsum("...ij,...j->...i", W, t)
-    WWt = jnp.einsum("...ij,...j->...i", W, Wt)
+    Wt = einsumh("...ij,...j->...i", W, t)
+    WWt = einsumh("...ij,...j->...i", W, Wt)
     return t - 0.5 * Wt + C * WWt
 
 

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from flame_ros_tpu.geometry.camera import Pinhole
 from flame_ros_tpu.geometry.se3 import SE3, quat_mul, quat_rotate
 from flame_ros_tpu.ops.pyramid import bilinear_pyramid
+from flame_ros_tpu.utils.precision import einsumh, mmh
 
 
 class BAResult(NamedTuple):
@@ -183,13 +184,13 @@ def refine_matches_2d(ref_pyr, uv_ref, kf_pyrs, uv_obs, obs_valid, *,
             Tz = T - jnp.mean(T)
             J = jnp.stack([gx, gy], -1)                   # [n, 2]
             Jz = J - jnp.mean(J, axis=0, keepdims=True)   # zero-mean proj
-            H = Jz.T @ Jz + 1e-3 * jnp.eye(2)
+            H = mmh(Jz.T, Jz) + 1e-3 * jnp.eye(2)
 
             def it_step(_, uv):
                 I, iok = bilinear_pyramid(pyr_j, uv[None, :] + offs, lv)
                 Iz = I - jnp.mean(I)
                 r_vec = (Iz - Tz) * iok.astype(jnp.float32)
-                g = Jz.T @ r_vec
+                g = mmh(Jz.T, r_vec)
                 delta = jnp.linalg.solve(H, g)
                 # Stay within the level's basin per iteration.
                 delta = jnp.clip(delta, -radius * step, radius * step)
@@ -628,22 +629,22 @@ def bundle_adjust_window(
                     * pvalid[:, None].astype(jnp.float32))[..., None])
 
         # Blocks (per frame j): Hpp_j [D,D], bp_j [D]; per point: Hdd [P].
-        Hpp = jnp.einsum("pkc,pkci,pkcj->kij", w, Jt, Jt)
-        bp = jnp.einsum("pkc,pkci,pkc->ki", w, Jt, rr)
+        Hpp = einsumh("pkc,pkci,pkcj->kij", w, Jt, Jt)
+        bp = einsumh("pkc,pkci,pkc->ki", w, Jt, rr)
         Hdd = jnp.sum(w * Jd * Jd, axis=(1, 2)) + depth_prior_weight
         bd = jnp.sum(w * Jd * rr, axis=(1, 2)) \
             + depth_prior_weight * (d - idepth0)
         # Coupling Hpd: [P, K, D] (point p x frame j, channels folded).
-        Hpd = jnp.einsum("pkc,pkc,pkci->pki", w, Jd, Jt)
+        Hpd = einsumh("pkc,pkc,pkci->pki", w, Jd, Jt)
 
         # Schur: S = Hpp - sum_p Hpd^T Hdd^-1 Hpd  (per-frame blocks; the
         # cross-frame coupling through depths makes S block-dense).
         Hdd_inv = 1.0 / Hdd                              # [P]
-        S = (jnp.einsum("pki,p,plj->kilj", Hpd, Hdd_inv, Hpd) * -1.0)
+        S = (einsumh("pki,p,plj->kilj", Hpd, Hdd_inv, Hpd) * -1.0)
         S = S.reshape(K * D, K * D) \
             + jax.scipy.linalg.block_diag(*[Hpp[k] for k in range(K)])
         rhs = (bp.reshape(K * D)
-               - jnp.einsum("pki,p,p->ki", Hpd, Hdd_inv, bd).reshape(K * D))
+               - einsumh("pki,p,p->ki", Hpd, Hdd_inv, bd).reshape(K * D))
         # Sharded points: S/rhs above are the shard-local partial sums
         # over this device's points — ONE psum each completes the
         # Schur-reduced system (per BA iteration, [K*D,K*D]+[K*D] floats
@@ -670,7 +671,7 @@ def bundle_adjust_window(
             # Depth-only refinement: exact per-point Newton.
             dtau = jnp.zeros((K, D))
         # Back-substitute depths.
-        corr = jnp.einsum("pki,ki->p", Hpd, dtau)
+        corr = einsumh("pki,ki->p", Hpd, dtau)
         dd = -(bd + corr) * Hdd_inv
         dd = jnp.clip(dd, -0.2, 0.2)
 

@@ -377,7 +377,10 @@ def _track_step(state: EngineState, img_pyr, cur_q, cur_t, frame_id,
               & (free_rank[:, None] == det_rank[None, :]))
         hit = jnp.any(oh, axis=1)                      # [N]
         vals = jnp.stack([duv[:, 0], duv[:, 1], mu0, var0], -1)
+        # HIGHEST: vals carries pixel coordinates — at DEFAULT precision
+        # the TPU MXU truncates them to bf16 (a 4-px grid at u >= 512).
         got = jnp.dot(oh.astype(jnp.float32), vals,
+                      precision=jax.lax.Precision.HIGHEST,
                       preferred_element_type=jnp.float32)  # [N, 4]
         feat = feat._replace(
             uv_ref=jnp.where(hit[:, None], got[:, :2], feat.uv_ref),

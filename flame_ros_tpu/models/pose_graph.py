@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from flame_ros_tpu.geometry.se3 import SE3, quat_mul, quat_conj, quat_rotate
+from flame_ros_tpu.utils.precision import mmh
 
 
 class PoseGraph(NamedTuple):
@@ -69,8 +70,8 @@ def optimize_pose_graph(graph: PoseGraph, *, num_iters: int = 10,
         M = r0.shape[0]
         J = J.reshape(M * 6, K * 6)
         r = r0.reshape(M * 6)
-        H = J.T @ J + damping * jnp.eye(K * 6)
-        b = J.T @ r
+        H = mmh(J.T, J) + damping * jnp.eye(K * 6)
+        b = mmh(J.T, r)
         # Gauge fix: clamp node 0 by a large prior instead of slicing
         # (keeps shapes static).
         prior = jnp.zeros(K * 6).at[:6].set(1e8)

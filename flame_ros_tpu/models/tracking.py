@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from flame_ros_tpu.geometry.camera import Pinhole
 from flame_ros_tpu.geometry.se3 import SE3, quat_mul, quat_rotate
 from flame_ros_tpu.ops.pyramid import bilinear_pyramid
+from flame_ros_tpu.utils.precision import mmh
 
 
 class TrackResult(NamedTuple):
@@ -151,9 +152,9 @@ def track_frame(ref_pyr, ref_idepth, cur_pyr, init_q, init_t, *,
                     [Jx, -fine * iref0[:, None],
                      -fine * jnp.ones_like(iref0)[:, None]],
                     -1)                                     # [P, 8]
-                A = (Jx * m[:, None]).T @ Jx + jnp.diag(
+                A = mmh((Jx * m[:, None]).T, Jx) + jnp.diag(
                     jnp.array([1e-4] * 6 + [1e-2, 1e-2], jnp.float32))
-                b = (Jx * m[:, None]).T @ r
+                b = mmh((Jx * m[:, None]).T, r)
                 s = jax.lax.rsqrt(jnp.diag(A) + 1e-12)
                 An = s[:, None] * A * s[None, :]
                 upd = -s * jnp.linalg.solve(An, s * b)
@@ -163,8 +164,8 @@ def track_frame(ref_pyr, ref_idepth, cur_pyr, init_q, init_t, *,
                 o_new = jnp.clip(o + fine * jnp.clip(upd[7], -16.0, 16.0),
                                  -96.0, 96.0)
             else:
-                A = (Jx * m[:, None]).T @ Jx + 1e-4 * jnp.eye(6)
-                b = (Jx * m[:, None]).T @ r
+                A = mmh((Jx * m[:, None]).T, Jx) + 1e-4 * jnp.eye(6)
+                b = mmh((Jx * m[:, None]).T, r)
                 tau = jnp.clip(-jnp.linalg.solve(A, b), -0.5, 0.5)
                 g_new, o_new = g, o
             dq, dt = _se3_exp_qt(tau)

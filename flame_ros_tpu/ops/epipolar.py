@@ -43,6 +43,7 @@ import jax.numpy as jnp
 
 from flame_ros_tpu.geometry.camera import Pinhole
 from flame_ros_tpu.geometry.se3 import quat_mul, quat_conj, quat_rotate
+from flame_ros_tpu.utils.precision import mmh
 from flame_ros_tpu.ops.pyramid import bilinear_pyramid, bilinear_pyramid_batched
 
 # Status codes for per-feature update outcome (debug "matches" rendering:
@@ -139,8 +140,8 @@ def epipolar_update(
 
     ray = cam.ray(state.uv_ref)          # [N, 3]
     K = jnp.asarray(cam.K)
-    A = quat_rotate(q_cr, ray) @ K.T     # [N, 3]
-    B = t_cr @ K.T                        # [N, 3]
+    A = mmh(quat_rotate(q_cr, ray), K.T)  # [N, 3]
+    B = mmh(t_cr, K.T)                    # [N, 3]
 
     baseline = jnp.linalg.norm(t_cr, axis=-1)
     has_parallax = baseline > min_baseline
@@ -199,7 +200,7 @@ def epipolar_update(
     # --- reference patch ----------------------------------------------
     # Patch direction: along the epipolar line in the ref image (from the
     # epipole through the feature); spacing is 1 pixel at the chosen level.
-    e_hom = t_rc @ K.T
+    e_hom = mmh(t_rc, K.T)
     # Homogeneous line direction through the feature and the epipole:
     # d ∝ uv * e_z - e_xy  (= e_z * (uv - epipole) when the epipole is
     # finite, and the correct at-infinity direction -e_xy as e_z -> 0).
@@ -260,7 +261,7 @@ def epipolar_update(
     else:
         # --- candidate patches: exact warp of ref-patch rays ------------
         ray_taps = cam.ray(ref_uv)                             # [N, P, 3]
-        A_taps = quat_rotate(q_cr[:, None, :], ray_taps) @ K.T  # [N, P, 3]
+        A_taps = mmh(quat_rotate(q_cr[:, None, :], ray_taps), K.T)  # [N,P,3]
         hom = (A_taps[:, None, :, :]
                + xis[:, :, None, None] * B[:, None, None, :])  # [N, S, P, 3]
         in_front = hom[..., 2] > 1e-6

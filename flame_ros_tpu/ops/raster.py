@@ -102,7 +102,11 @@ def rasterize_tri_ids(vtx_pos, tris, tri_valid, *, height: int, width: int,
         def blk_body(k, best):
             def do(best):
                 Cb = jax.lax.dynamic_slice_in_dim(C, k * (B * 3), B * 3, 1)
-                E = jnp.dot(P, Cb, preferred_element_type=jnp.float32)
+                # HIGHEST: P carries raw pixel coordinates and Cb edge
+                # coefficients — bf16 MXU truncation misclassifies
+                # pixels near triangle edges by whole pixels.
+                E = jnp.dot(P, Cb, precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
                 E = E.reshape(px_per_tile, B, 3)
                 inside = (E >= eps).all(-1) & tvalid_b[k][None, :]
                 ids = k * B + jax.lax.broadcasted_iota(

@@ -8,26 +8,31 @@ the keyframe ring). Input GT poses feed ONLY the ATE evaluation
 scale-free drift diagnostic); frame-0 GT depth bootstraps monocular
 scale (RGB-D-style init).
 
-Recorded matrix (2026-08-19, CPU backend; PARITY.md §tracking):
+Recorded matrix (2026-08-20, genuine CPU backend at HEAD with the
+platform pin — the 2026-08-19 recording was silently hijacked onto the
+TPU backend, see BENCH_NOTES §round-4 contamination; PARITY.md
+§tracking):
 
 | regime       | ATE se3 | ATE sim3 | %path | rmse   | recall | failed |
 |--------------|---------|----------|-------|--------|--------|--------|
-| easy         | 0.0259  | 0.0249   | 0.98% | 0.0561 | 0.897  | 0      |
-| easy + BA    | 0.0284  | 0.0191   | 1.07% | 0.0591 | 0.899  | 0      |
-| lowtex       | 0.0665  | 0.0476   | 2.5%  | 0.0743 | 0.900  | 0      |
-| lowtex + BA  | 0.0877  | 0.0389   | 3.3%  | 0.1020 | 0.901  | 0      |
-| rotation     | 0.0383  | 0.0212   | (0.23 m path) | 0.4620 | 0.605 | 19 |
-| rotation + BA| 0.0355  | 0.0137   | (0.27 m path) | 0.5716 | 0.774 | 0  |
+| easy         | 0.0015  | 0.0015   | 0.06% | 0.0289 | 0.900  | 0      |
+| easy + BA    | 0.0054  | 0.0020   | 0.21% | 0.0307 | 0.901  | 0      |
+| lowtex       | 0.0058  | 0.0055   | 0.22% | 0.0314 | 0.902  | 0      |
+| lowtex + BA  | 0.0113  | 0.0058   | 0.43% | 0.0330 | 0.902  | 0      |
+| rotation     | 0.0127  | 0.0055   | (0.27 m path) | 0.0546 | 0.819 | 0 |
+| rotation + BA| 0.0136  | 0.0036   | (0.27 m path) | 0.0592 | 0.822 | 0  |
 
 Findings the gates encode: (a) on translation-dominant motion the
-tracker holds ATE under ~1% of path at acceptance scale; (b) BA trades
-a little SE3 ATE for consistently better sim3 (drift) and prevents the
-divergences rotation-dominant motion causes without it (19 -> 0 failed
-frames); (c) rotation-dominant monocular tracking degrades DEPTH hard
-(tiny baselines — the regime the reference's angular-rate gate exists
-for, src/flame_nodelet.cc:644-662) while the trajectory itself stays
-bounded — the gates demand bounded ATE + no collapse there, not depth
-parity.
+tracker holds ATE under ~0.5% of path at acceptance scale with ZERO
+failed frames on every regime; (b) BA tightens the scale-free drift
+where it matters most (rotation sim3 0.0055 -> 0.0036, abs_rel
+0.49 -> 0.24) and is roughly neutral on the easy regimes — the
+contaminated 2026-08-19 finding that "BA prevents 19 divergences on
+rotation" was a TPU-numerics artifact, not a product property; (c)
+rotation-dominant monocular tracking degrades DEPTH (tiny baselines —
+the regime the reference's angular-rate gate exists for,
+src/flame_nodelet.cc:644-662) while the trajectory stays bounded — the
+gates demand bounded ATE + no collapse there, not depth parity.
 
 Run with: pytest -m acceptance (nightly; ~12 min/run on 4 CPU cores).
 """
@@ -48,9 +53,9 @@ def _run(capsys, *extra):
 def test_tracking_easy_vga200(capsys):
     s = _run(capsys)
     assert s["frames"] == 200 and s["failed"] == 0
-    assert s["ate_rmse"] < 0.015 * s["gt_path_length"], s
-    assert s["ate_rmse"] < 0.04, s
-    assert s["idepth_rmse"] < 0.08, s
+    assert s["ate_rmse"] < 0.005 * s["gt_path_length"], s
+    assert s["ate_rmse"] < 0.01, s
+    assert s["idepth_rmse"] < 0.05, s
     assert s["precision"] > 0.95, s
     assert s["recall"] > 0.85, s
 
@@ -58,13 +63,12 @@ def test_tracking_easy_vga200(capsys):
 @pytest.mark.acceptance
 def test_tracking_easy_ba_refine_vga200(capsys):
     """ba_refine A/B arm: windowed BA keeps the pipeline healthy at
-    acceptance scale and holds the drift (sim3) envelope tighter than
-    the recorded no-BA sim3 (0.0249)."""
+    acceptance scale and holds the drift (sim3) envelope."""
     s = _run(capsys, "--ba-refine")
     assert s["frames"] == 200 and s["failed"] == 0
-    assert s["ate_rmse"] < 0.02 * s["gt_path_length"], s
-    assert s["ate_rmse_sim3"] < 0.03, s
-    assert s["idepth_rmse"] < 0.09, s
+    assert s["ate_rmse"] < 0.008 * s["gt_path_length"], s
+    assert s["ate_rmse_sim3"] < 0.01, s
+    assert s["idepth_rmse"] < 0.05, s
     assert s["recall"] > 0.85, s
 
 
@@ -72,8 +76,8 @@ def test_tracking_easy_ba_refine_vga200(capsys):
 def test_tracking_low_texture_vga200(capsys):
     s = _run(capsys, "--texture-gain", "0.3")
     assert s["frames"] == 200 and s["failed"] == 0
-    assert s["ate_rmse"] < 0.04 * s["gt_path_length"], s
-    assert s["idepth_rmse"] < 0.12, s
+    assert s["ate_rmse"] < 0.01 * s["gt_path_length"], s
+    assert s["idepth_rmse"] < 0.06, s
     assert s["recall"] > 0.85, s
 
 
@@ -85,6 +89,6 @@ def test_tracking_rotation_ba_vga200(capsys):
     gates its own output during rotation)."""
     s = _run(capsys, "--motion", "rotation", "--ba-refine")
     assert s["frames"] == 200 and s["failed"] == 0
-    assert s["ate_rmse_sim3"] < 0.05, s
-    assert s["ate_rmse"] < 0.08, s
-    assert s["recall"] > 0.60, s
+    assert s["ate_rmse_sim3"] < 0.015, s
+    assert s["ate_rmse"] < 0.03, s
+    assert s["recall"] > 0.75, s
