@@ -207,6 +207,12 @@ def main():
         for pre in pending:  # drain outstanding uploads; these frames
             engine.update_window(prefetched=pre)   # complete within the
             n_frames += win_size                   # wall, so count them
+            # Collect each drained window's probe: a poseframe window
+            # schedules a snapshot future, and a later window would
+            # overwrite it undelivered — the orphaned tri job then
+            # stalls on its 2 s fallback and issues its own D2H into
+            # the NEXT measured mode's link timings.
+            done_probe.append(engine.completion_probe())
         for p, tok in done_probe:  # feed remaining snapshots to tri jobs
             engine.deliver_probe(tok, np.asarray(p))
         p, tok = engine.completion_probe()

@@ -22,6 +22,7 @@ choice — in-process handoff is zero-copy like a nodelet.
 """
 from __future__ import annotations
 
+import collections
 import enum
 import threading
 import time as time_mod
@@ -71,7 +72,8 @@ class FlameNodelet:
                  queue_size: int = 8,
                  alarm_after_s: float = 1.0, fail_after_s: float = 5.0,
                  pose_source: str = "external", ba_refine: bool = False,
-                 eval_gt_depth: bool = False):
+                 eval_gt_depth: bool = False,
+                 trajectory_cap: int = 100_000):
         if pose_source not in ("external", "tracking"):
             raise ValueError(pose_source)
         self.pose_source = pose_source
@@ -81,8 +83,13 @@ class FlameNodelet:
         # bootstrap on frame 0 — it never feeds estimation).
         self.eval_gt_depth = eval_gt_depth
         # (img_id, time, estimated-or-external pose) per processed frame,
-        # for ATE evaluation against a GT trajectory.
-        self.trajectory: list[tuple[int, float, SE3]] = []
+        # for ATE evaluation against a GT trajectory. Bounded: a
+        # long-running online deployment must not leak ~2.6 M pose
+        # tuples/day — the offline ATE harness sizes it to the run,
+        # everyone else keeps the default rolling window.
+        self.trajectory_cap = int(trajectory_cap)
+        self.trajectory: collections.deque[tuple[int, float, SE3]] = (
+            collections.deque(maxlen=self.trajectory_cap or None))
         # Photometric windowed BA over the keyframe ring at poseframe rate
         # (models/ba.py) — refines keyframe poses beyond the odometry
         # pose graph. Only meaningful with pose_source="tracking"

@@ -524,6 +524,13 @@ def main(argv=None):
         if args.window > 0 or args.pass_in_truth or args.rate > 0:
             p.error("--pose-source tracking is incompatible with "
                     "--window/--pass-in-truth/--rate")
+        if args.pose_noise_sigma > 0 or args.pose_noise_rot_sigma > 0:
+            # Tracking mode treats the input poses as GT for the ATE
+            # block only — noising them would silently evaluate the
+            # tracker against noise and report it as 'GT' ATE.
+            p.error("--pose-source tracking is incompatible with "
+                    "--pose-noise-* (the input poses are the ATE "
+                    "ground truth)")
         res = run_offline_tracking(
             frames, cam, params, out_dir=args.out,
             ba_refine=args.ba_refine, max_frames=args.frames,

@@ -137,6 +137,29 @@ def place(tree, shardings):
         is_leaf=lambda x: isinstance(x, (jnp.ndarray, np.ndarray)))
 
 
+def _unpack_row_and_track(state, row, *, cam: Pinhole,
+                          params: FlameParams, is_pf: bool):
+    """Decode one packed upload row ([H*W image bytes | bitcast meta])
+    and run the track step — the single place the row layout is decoded,
+    shared by the plain and spatial product steps."""
+    H, W = cam.height, cam.width
+    img = row[:H * W].reshape(H, W).astype(jnp.float32)
+    meta = jax.lax.bitcast_convert_type(
+        row[H * W:].reshape(eng_mod.META_LEN, 4), jnp.float32)
+    cur_q = meta[:4]
+    cur_t = meta[4:7]
+    frame_id = meta[7].astype(jnp.int32)
+    kf_slot = meta[9].astype(jnp.int32)
+    from flame_ros_tpu.ops.pyramid import build_pyramid
+    img_pyr = build_pyramid(img, eng_mod.NUM_LEVELS)
+    state, status, uv_match, counts_vec, dets = \
+        eng_mod._track_step.__wrapped__(
+            state, img_pyr, cur_q, cur_t, frame_id, kf_slot, is_pf,
+            eng_mod._ZERO_IMG(cam), cam=cam, params=params,
+            use_truth=False)
+    return state, img_pyr, cur_q, cur_t, counts_vec
+
+
 @partial(jax.jit, static_argnames=("cam", "params", "is_pf", "has_gt"))
 def batched_full_step(states: EngineState, packed, gt_batch, *,
                       cam: Pinhole, params: FlameParams, is_pf: bool,
@@ -147,23 +170,9 @@ def batched_full_step(states: EngineState, packed, gt_batch, *,
     streams (is_pf is static), so the poseframe branch compiles in
     exactly like the single-stream windowed path — no lax.cond under
     vmap."""
-    H, W = cam.height, cam.width
-
     def one(state, row, gt):
-        img = row[:H * W].reshape(H, W).astype(jnp.float32)
-        meta = jax.lax.bitcast_convert_type(
-            row[H * W:].reshape(eng_mod.META_LEN, 4), jnp.float32)
-        cur_q = meta[:4]
-        cur_t = meta[4:7]
-        frame_id = meta[7].astype(jnp.int32)
-        kf_slot = meta[9].astype(jnp.int32)
-        from flame_ros_tpu.ops.pyramid import build_pyramid
-        img_pyr = build_pyramid(img, eng_mod.NUM_LEVELS)
-        state, status, uv_match, counts_vec, dets = \
-            eng_mod._track_step.__wrapped__(
-                state, img_pyr, cur_q, cur_t, frame_id, kf_slot, is_pf,
-                eng_mod._ZERO_IMG(cam), cam=cam, params=params,
-                use_truth=False)
+        state, img_pyr, cur_q, cur_t, counts_vec = _unpack_row_and_track(
+            state, row, cam=cam, params=params, is_pf=is_pf)
         state, idepth, stats_vec = eng_mod._smooth_step.__wrapped__(
             state, img_pyr, cur_q, cur_t, counts_vec, gt,
             cam=cam, params=params, has_gt=has_gt, dense_products=True)
@@ -197,25 +206,12 @@ def batched_full_step_spatial(states: EngineState, parts, packed, gt_batch,
     eng = params.engine
     nl = params.regularization.nltgv2
 
-    def track_one(state, row, gt):
-        img = row[:H * W].reshape(H, W).astype(jnp.float32)
-        meta = jax.lax.bitcast_convert_type(
-            row[H * W:].reshape(eng_mod.META_LEN, 4), jnp.float32)
-        cur_q = meta[:4]
-        cur_t = meta[4:7]
-        frame_id = meta[7].astype(jnp.int32)
-        kf_slot = meta[9].astype(jnp.int32)
-        from flame_ros_tpu.ops.pyramid import build_pyramid
-        img_pyr = build_pyramid(img, eng_mod.NUM_LEVELS)
-        state, status, uv_match, counts_vec, dets = \
-            eng_mod._track_step.__wrapped__(
-                state, img_pyr, cur_q, cur_t, frame_id, kf_slot, is_pf,
-                eng_mod._ZERO_IMG(cam), cam=cam, params=params,
-                use_truth=False)
-        return state, img_pyr, cur_q, cur_t, counts_vec
+    def track_one(state, row):
+        return _unpack_row_and_track(
+            state, row, cam=cam, params=params, is_pf=is_pf)
 
     states, img_pyrs, qs, ts, counts = jax.vmap(track_one)(
-        states, packed, gt_batch)
+        states, packed)
 
     tri_fresh, edge_fresh, lam = jax.vmap(
         partial(eng_mod._smooth_pd_setup, params=params))(states)
@@ -574,7 +570,10 @@ class MultiStreamRunner:
         return SpatialPartition(
             vtx_order=s(1), vtx_part=None, vtx_slot=None,
             edges_l=s(2), edge_valid_l=s(1), edge_gid=s(1),
-            export_idx=s(2), dp=s(2), alpha=s(1), beta=s(1),
+            # dp/alpha/beta: batched sweep rebuilds edge geometry from
+            # current uv per frame — uploading the install-time values
+            # would be three dead H2D transfers per topology install.
+            export_idx=s(2), dp=None, alpha=None, beta=None,
             inc_edges=s(2), inc_sign=s(2))
 
     def _install_parts(self, parts):

@@ -417,9 +417,10 @@ def pd_iterate_spatial_batched(mesh: Mesh, parts: SpatialPartition,
         edge_valid_l=P(stream_axis, part_axis, None),
         edge_gid=P(stream_axis, part_axis, None),
         export_idx=P(stream_axis, part_axis, None, None),
-        dp=P(stream_axis, part_axis, None, None),
-        alpha=P(stream_axis, part_axis, None),
-        beta=P(stream_axis, part_axis, None),
+        # dp/alpha/beta: install-time edge geometry, UNUSED here (the
+        # sweep rebuilds geometry from current uv each frame) — stripped
+        # below so callers never ship them.
+        dp=None, alpha=None, beta=None,
         inc_edges=P(stream_axis, part_axis, None, None),
         inc_sign=P(stream_axis, part_axis, None, None))
     spec_v3 = P(stream_axis, part_axis, None, None)
@@ -454,17 +455,30 @@ def pd_iterate_spatial_batched(mesh: Mesh, parts: SpatialPartition,
         dp, alpha = jax.vmap(geom)(exp_idx, uv, edges, elf)
         beta = alpha
 
-        def sweep(edges, exp_idx, inc_e, inc_s, alpha, beta, dp, elf,
-                  z, lam, vmask, xw, xwb, q):
+        # Loop-invariant prep, hoisted OUT of the sweep (the unsharded
+        # sibling pd_iterate_spatial does the same): the preconditioner
+        # reductions and the dp[inc_e] gather cost as much as the
+        # adjoint itself, and XLA does not reliably hoist them out of
+        # the while_loop body below.
+        def prep(inc_e, inc_s, alpha, beta, dp, lam, vmask):
             sigma, tau_x, tau_w = _local_precond(alpha, beta, dp,
                                                  inc_e, inc_s)
             tau_xw = jnp.concatenate([tau_x[:, None], tau_w], -1)
             thr = tau_x * lam
-            vm3 = vmask.astype(xw.dtype)[:, None]
-            i, j = edges[:, 0], edges[:, 1]
-            live = (inc_s != 0).astype(xw.dtype)
-            tail = (inc_s > 0).astype(xw.dtype)
+            vm3 = vmask.astype(jnp.float32)[:, None]
+            live = (inc_s != 0).astype(jnp.float32)
+            tail = (inc_s > 0).astype(jnp.float32)
             dp_inc = dp[inc_e] * live[..., None]
+            return sigma, tau_xw, thr, vm3, live, tail, dp_inc
+
+        sigma_v, tau_xw_v, thr_v, vm3_v, live_v, tail_v, dp_inc_v = \
+            jax.vmap(prep, in_axes=(0,) * 7)(
+                inc_e, inc_s, alpha, beta, dp, lam, vmask)
+
+        def sweep(edges, exp_idx, inc_e, inc_s, alpha, beta, dp, elf,
+                  z, sigma, tau_xw, thr, vm3, live, tail, dp_inc,
+                  xw, xwb, q):
+            i, j = edges[:, 0], edges[:, 1]
 
             blocks = [xwb]
             for r in range(1, Pn):
@@ -497,9 +511,10 @@ def pd_iterate_spatial_batched(mesh: Mesh, parts: SpatialPartition,
             delta = jnp.max(jnp.abs(xw_new[:, 0] - xw[:, 0]))
             return xw_new, xwb_new, q, delta
 
-        sweep_v = jax.vmap(sweep, in_axes=(0,) * 14)
+        sweep_v = jax.vmap(sweep, in_axes=(0,) * 19)
         consts = (edges, exp_idx, inc_e, inc_s, alpha, beta, dp, elf,
-                  z, lam, vmask)
+                  z, sigma_v, tau_xw_v, thr_v, vm3_v, live_v, tail_v,
+                  dp_inc_v)
 
         if gate_tol > 0.0:
             Sl = xw.shape[0]
@@ -563,7 +578,8 @@ def pd_iterate_spatial_batched(mesh: Mesh, parts: SpatialPartition,
         in_specs=(specs, spec_v3, spec_v3, spec_v, spec_v3, spec_v,
                   spec_v, spec_v),
         out_specs=(spec_v3, spec_v3))
-    pt = parts._replace(vtx_part=None, vtx_slot=None)
+    pt = parts._replace(vtx_part=None, vtx_slot=None,
+                        dp=None, alpha=None, beta=None)
     return sharded(pt, xw, q, edge_live, uv, z, lam, vmask)
 
 

@@ -14,8 +14,12 @@ run() {
   line=$(JAX_PLATFORMS=cpu python -m flame_ros_tpu.frontends.offline_runner \
       --dataset synthetic --resolution vga --frames 200 \
       --pose-source tracking --out "$OUT/$name" "$@" 2>/dev/null | tail -1)
-  echo "{\"run\": \"$name\", \"wall_s\": $((SECONDS - t0)), ${line#\{}" \
-      >> "$OUT/matrix.jsonl"
+  case "$line" in
+    {*) echo "{\"run\": \"$name\", \"wall_s\": $((SECONDS - t0)), ${line#\{}" \
+        >> "$OUT/matrix.jsonl" ;;
+    *)  echo "{\"run\": \"$name\", \"wall_s\": $((SECONDS - t0)), \"error\": \"runner produced no summary\"}" \
+        >> "$OUT/matrix.jsonl" ;;
+  esac
 }
 run easy
 run easy_ba --ba-refine
