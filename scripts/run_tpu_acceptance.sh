@@ -23,8 +23,12 @@ run() {
   line=$(python -m flame_ros_tpu.frontends.offline_runner \
       --dataset synthetic --resolution vga --frames "$FRAMES" \
       --out "$OUT/$name" "$@" 2>/dev/null | tail -1)
-  echo "{\"run\": \"$name\", \"wall_s\": $((SECONDS - t0)), ${line#\{}" \
-      >> "$OUT/matrix.jsonl"
+  case "$line" in
+    {*) echo "{\"run\": \"$name\", \"wall_s\": $((SECONDS - t0)), ${line#\{}" \
+        >> "$OUT/matrix.jsonl" ;;
+    *)  echo "{\"run\": \"$name\", \"wall_s\": $((SECONDS - t0)), \"error\": \"runner produced no summary\"}" \
+        >> "$OUT/matrix.jsonl" ;;
+  esac
 }
 run easy
 run rotation --motion rotation
