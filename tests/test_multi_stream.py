@@ -214,6 +214,13 @@ def test_runner_spatial_partition_matches_plain(seq):
         assert spatial.update([f, g])
         assert plain.update([f, g])
     assert spatial.parts is not None, "partition never installed"
+    # The batched sweep rebuilds edge geometry from current uv each
+    # frame — the install must NOT ship the install-time dp/alpha/beta
+    # (three dead H2D transfers per install on a transfer-count-bound
+    # link, round-4 review fix).
+    assert spatial.parts.dp is None
+    assert spatial.parts.alpha is None
+    assert spatial.parts.beta is None
     ms_a = spatial.get_idepth_maps()
     ms_b = plain.get_idepth_maps()
     both = np.isfinite(ms_a) & np.isfinite(ms_b)
