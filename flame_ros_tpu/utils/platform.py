@@ -22,7 +22,12 @@ def pin_requested_platform() -> None:
     backend factory so the request actually holds. No-op when the
     backend is already initialized or JAX_PLATFORMS is unset/non-cpu."""
     want = os.environ.get("JAX_PLATFORMS", "")
-    if "cpu" not in want.lower() or "axon" in want.lower():
+    # Pin only when cpu is the FIRST (preferred) platform in the
+    # comma-separated list: "cpu" or "cpu,tpu" means a cpu-only intent,
+    # while "tpu,cpu" (accelerator first, cpu fallback) must keep the
+    # accelerator path (ADVICE r4).
+    entries = [e.strip().lower() for e in want.split(",") if e.strip()]
+    if not entries or entries[0] != "cpu" or "axon" in entries:
         return
     import jax
 

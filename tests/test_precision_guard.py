@@ -47,9 +47,19 @@ def _assert_no_default_f32_dots(fn, *args):
     bad = _walk(jaxpr.jaxpr, [])
     # jnp.linalg.solve lowers through lu/triangular_solve whose internal
     # dots we do not author (tiny, Jacobi-normalized systems); everything
-    # written in this repo must be HIGHEST.
-    bad = [(e, p) for (e, p) in bad
-           if "linalg" not in str(e.source_info.traceback)]
+    # written in this repo must be HIGHEST. Exempt ONLY frames from the
+    # jax/scipy linalg modules themselves — a bare "linalg" substring
+    # would also exempt repo-authored dots in any path containing it
+    # (ADVICE r4).
+    def _is_library_linalg(e):
+        tb = str(e.source_info.traceback)
+        return ("jax/_src/numpy/linalg" in tb
+                or "jax\\_src\\numpy\\linalg" in tb
+                or "jax/_src/scipy/linalg" in tb
+                or "jax/_src/lax/linalg" in tb
+                or "scipy/linalg" in tb)
+
+    bad = [(e, p) for (e, p) in bad if not _is_library_linalg(e)]
     assert not bad, (
         f"{len(bad)} float32 dot_general(s) at non-HIGHEST precision "
         f"(TPU would truncate the operands to bf16): "
