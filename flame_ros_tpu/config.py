@@ -261,6 +261,69 @@ class EngineParams:
 
 
 @dataclass(frozen=True)
+class PoseTrackingParams:
+    """Direct-alignment pose tracker: failure gate + recovery (tracking
+    mode is capability beyond the reference; the gate mirrors the
+    reference's pose-failure semantics — frames whose pose cannot be
+    resolved are DROPPED, not estimated-and-hoped:
+    ros_sensor_streams/tracked_image_stream.cc:182-185 drops frames with
+    failed tf lookups, flame_nodelet.cc:637-642 skips failed updates).
+
+    Gate calibration (QVGA synthetic, recorded round 5): clean-run mean
+    Huber costs sit at 3.7-7.8 intensity units; a full-frame occlusion
+    reads 24.0 (the 3*huber_delta clip) on the first occluded frame and
+    — if the occluded frame is allowed to become the tracking keyframe —
+    0.0 forever after (white-on-white has zero residual AND zero valid
+    gradient points), which is why the gate needs BOTH a cost ceiling
+    and a valid/inlier floor."""
+    # Mean Huber cost above which the frame's track is rejected
+    # (~2x the clean-run envelope, under the 3*huber_delta=24 clip).
+    fail_cost: float = 14.0
+    # Reject when inliers (|r| < 2*huber_delta) fall below this fraction
+    # of the VALID point set (valid = in-view, in-front, textured-in-ref
+    # — low-texture scenes shrink the valid set; the fraction is of what
+    # was actually observable, not of the fixed lane count).
+    min_inlier_frac: float = 0.5
+    # Reject when fewer than this many points were observable at all
+    # (catches the degenerate zero-residual case: a textureless track
+    # ref yields cost 0 with nothing measured).
+    min_valid_points: int = 64
+    # Consecutive rejected frames before the recovery path re-searches
+    # the keyframe ring (ring_relocalize) instead of just coasting the
+    # constant-velocity model.
+    relocalize_after: int = 3
+    # Discrete twist grid for the ring re-search: +/-{1..n_steps}*step
+    # per axis, coordinate-descent `iters` rounds (models/tracking.py::
+    # ring_relocalize; same shape as ba.py::discrete_pose_presearch).
+    reloc_step: float = 0.05
+    reloc_n_steps: int = 3
+    reloc_iters: int = 4
+    # A relocalization candidate must keep its coarse photometric cost
+    # under this to be trusted as a re-track seed.
+    max_reloc_cost: float = 18.0
+    # --- windowed BA (ba_refine) point budget + sharded solver -------
+    # Points per BA solve (selection: gather_ba_inputs, newest-keyframe-
+    # owned features). 256 is the single-chip live default; pod-scale
+    # dense-mapping configs raise it together with
+    # engine.max_features / a denser detection grid.
+    ba_budget: int = 256
+    # Route the window solve through the point-sharded Schur solver
+    # (models/ba.py::hybrid_bundle_adjust_sharded: per-iteration Schur
+    # reductions psum over the device mesh). None = auto by the
+    # RECORDED crossover (SCALING_r04 ba_window_ms: sharding pays only
+    # at P >= ~16384 — 1.19x at 16k, 1.58x at 48k on 4 devices; at
+    # P=256 it LOSES): shard when ba_budget >= 16384 and >= 2 devices
+    # are visible. True/False force it either way.
+    ba_sharded: bool | None = None
+    # BA gauge/point-anchor keyframe: "newest" (default; fresh
+    # detections own the points when the pool has turnover) or
+    # "most_owned" (saturated dense-pool configs — see
+    # models/ba.py::gather_ba_inputs docstring for the measured
+    # failure that makes this necessary).
+    ba_anchor: str = "newest"
+
+
+@dataclass(frozen=True)
 class AnalysisParams:
     pass_in_truth: bool = False  # Feed GT idepth into update() (truth harness).
 
@@ -274,6 +337,8 @@ class FlameParams:
     features: FeatureParams = field(default_factory=FeatureParams)
     regularization: RegularizationParams = field(default_factory=RegularizationParams)
     engine: EngineParams = field(default_factory=EngineParams)
+    pose_tracking: PoseTrackingParams = field(
+        default_factory=PoseTrackingParams)
     analysis: AnalysisParams = field(default_factory=AnalysisParams)
 
     @staticmethod

@@ -92,3 +92,62 @@ def test_tracking_rotation_ba_vga200(capsys):
     assert s["ate_rmse_sim3"] < 0.015, s
     assert s["ate_rmse"] < 0.03, s
     assert s["recall"] > 0.75, s
+
+
+@pytest.mark.acceptance
+def test_tracking_occlusion_recovery_vga200(capsys):
+    """Tracking-killer stress gate (VERDICT r4 weak #1): a 10-frame
+    full-frame white-out mid-sequence. Requirements: every occluded
+    frame DETECTED and failed (no silent map poisoning), recovery
+    within a handful of frames, and final accuracy essentially at the
+    clean-run envelope. Recorded (2026-08-20, CPU backend, VGA/200
+    easy + occlude 80:89): 188 frames processed, 12 failed (10
+    occluded + 2 recovery), 1 ring relocalization, ATE 0.00348
+    (0.13% of 2.64 m path; clean run 0.0015), idepth_rmse 0.0284
+    (clean 0.0289), recall 0.897. Pre-gate behavior on this scenario:
+    t_err jumped to 0.76 on the first occluded frame and the white
+    frame became the tracking keyframe — cost 0.000 'perfect' tracking,
+    permanently diverged."""
+    s = _run(capsys, "--occlude", "80:89")
+    # Detection: all 10 occluded frames must fail; recovery within 8.
+    assert 10 <= s["track_failed_frames"] <= 18, s
+    assert s["frames"] >= 200 - 18, s
+    assert s["failed"] == 0, s            # engine itself stayed healthy
+    # No map poisoning: accuracy at the clean-run envelope.
+    assert s["ate_rmse"] < 0.005 * s["gt_path_length"], s
+    assert s["idepth_rmse"] < 0.05, s
+    assert s["recall"] > 0.85, s
+
+
+@pytest.mark.acceptance
+def test_pod_dense_sharded_ba_vga(capsys):
+    """Pod-scale dense-mapping config (cfg/pod_dense_ba.yaml; VERDICT
+    r4 weak #4): 16384 feature slots at detection win 4, live BA budget
+    16384 — PAST the recorded sharded-solver crossover (SCALING_r04
+    ba_window_ms: 1.19x at 16k, 1.58x at 48k on 4 devices) — so the
+    auto rule routes every windowed BA solve through the point-sharded
+    Schur solver (hybrid_bundle_adjust_sharded) on the device mesh.
+    Recorded probe (2026-08-20, 8-dev CPU mesh, VGA 32/60 frames):
+    0 tracking failures, 4 sharded solves at P=16384 (~4 s warm each on
+    the CPU mesh), costs 2.2-2.4."""
+    import flame_ros_tpu.models.ba as ba_mod
+
+    calls = []
+    orig = ba_mod.hybrid_bundle_adjust_sharded
+
+    def spy(*a, **kw):
+        calls.append(a[5].shape[0])   # P of this solve
+        return orig(*a, **kw)
+
+    ba_mod.hybrid_bundle_adjust_sharded = spy
+    try:
+        s = _run(capsys, "--ba-refine", "--config", "cfg/pod_dense_ba.yaml",
+                 "--frames", "60")
+    finally:
+        ba_mod.hybrid_bundle_adjust_sharded = orig
+    assert s["frames"] == 60 and s["failed"] == 0, s
+    assert s["track_failed_frames"] == 0, s
+    assert len(calls) >= 5, calls         # one solve per poseframe round
+    assert all(p == 16384 for p in calls), calls
+    assert s["ate_rmse"] < 0.01, s
+    assert s["recall"] > 0.85, s
