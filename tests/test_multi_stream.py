@@ -249,3 +249,107 @@ def test_runner_spatial_requires_part_mesh(seq):
         params, engine=dc.replace(params.engine, spatial_parts=2))
     with pytest.raises(ValueError, match="part"):
         ms.MultiStreamRunner(seq.cam, num_streams=2, params=sp_params)
+
+
+def test_make_mesh_auto_selection_rule():
+    """The recorded spatial-vs-dp selection rule (SCALING_r04 /
+    VERDICT r4 weak #3): spatial parts ONLY for a single stream with
+    spare devices (s1p2 measured 1.298x/1.146x); any multi-stream
+    workload gets pure stream-dp (s2p2 measured 0.565x/0.698x —
+    negative). Unused devices stay off the mesh."""
+    import jax
+
+    devs = jax.devices()
+    assert len(devs) >= 8
+
+    # S=1, spare devices -> ("stream", "part") with parts=2.
+    m = ms.make_mesh(devs, auto_for_streams=1)
+    assert m.axis_names == ("stream", "part")
+    assert m.shape == {"stream": 1, "part": 2}
+
+    # S=1, one device -> plain single-device stream mesh.
+    m = ms.make_mesh(devs[:1], auto_for_streams=1)
+    assert m.axis_names == ("stream", "feat")
+    assert m.shape == {"stream": 1, "feat": 1}
+
+    # S=4 over 8 devices -> pure stream-dp over gcd(4, 8) = 4 devices,
+    # NOT a ("stream", "part") mesh.
+    m = ms.make_mesh(devs, auto_for_streams=4)
+    assert m.axis_names == ("stream", "feat")
+    assert m.shape == {"stream": 4, "feat": 1}
+
+    # S=3 over 8 devices -> largest dp split that divides the batch.
+    m = ms.make_mesh(devs, auto_for_streams=3)
+    assert m.shape == {"stream": 1, "feat": 1}
+
+    # S=8 over 8 devices -> full dp.
+    m = ms.make_mesh(devs, auto_for_streams=8)
+    assert m.shape == {"stream": 8, "feat": 1}
+
+
+def test_runner_warns_on_unprofitable_spatial_combo(seq):
+    """Multi-stream + spatial parts (the recorded s2p2 negative) must
+    not configure silently."""
+    import dataclasses
+    import warnings
+
+    import jax
+
+    from flame_ros_tpu.config import FlameParams
+
+    base = FlameParams()
+    eng = dataclasses.replace(base.engine, spatial_parts=2,
+                              max_features=128)
+    params = dataclasses.replace(base, engine=eng)
+    mesh = ms.make_mesh(jax.devices()[:4], parts=2)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        r = ms.MultiStreamRunner(seq.cam, 2, params=params, mesh=mesh)
+        r.shutdown()
+    assert any("measured-unprofitable" in str(x.message) for x in w), \
+        [str(x.message) for x in w]
+
+
+def test_runner_checkpoint_roundtrip_bit_identical(seq, tmp_path):
+    """SURVEY §5.4 / VERDICT r4 missing #2: save mid-run, restore into a
+    FRESH runner, replay the identical remaining frames — the restored
+    run's final dense maps and graph state must be BIT-identical to the
+    uninterrupted run's (dispatches are deterministic; the checkpoint
+    must capture every bit that matters)."""
+    def drive(runner, lo, hi):
+        for i in range(lo, hi):
+            runner.update([_frames(seq, i), _frames(seq, max(i - 1, 0))])
+
+    a = ms.MultiStreamRunner(seq.cam, num_streams=2, params=_params())
+    drive(a, 0, 8)
+    fn = a.save_checkpoint(str(tmp_path / "ms_ckpt"))
+    drive(a, 8, 13)
+    maps_a = a.get_idepth_maps()
+    state_a = jax.tree.flatten(a.states)[0]
+    a.shutdown()
+
+    b = ms.MultiStreamRunner(seq.cam, num_streams=2, params=_params())
+    b.load_checkpoint(fn)
+    drive(b, 8, 13)
+    maps_b = b.get_idepth_maps()
+    state_b = jax.tree.flatten(b.states)[0]
+    b.shutdown()
+
+    np.testing.assert_array_equal(np.asarray(maps_a), np.asarray(maps_b))
+    for xa, xb in zip(state_a, state_b):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+
+def test_runner_checkpoint_capacity_mismatch_rejected(seq, tmp_path):
+    a = ms.MultiStreamRunner(seq.cam, num_streams=2, params=_params())
+    a.update([_frames(seq, 0), _frames(seq, 0)])
+    fn = a.save_checkpoint(str(tmp_path / "cap_ckpt"))
+    a.shutdown()
+    import dataclasses
+    p = _params()
+    p = dataclasses.replace(
+        p, engine=dataclasses.replace(p.engine, max_features=256))
+    b = ms.MultiStreamRunner(seq.cam, num_streams=2, params=p)
+    with pytest.raises(ValueError, match="capacities"):
+        b.load_checkpoint(fn)
+    b.shutdown()
