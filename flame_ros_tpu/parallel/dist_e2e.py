@@ -27,7 +27,8 @@ import time
 
 def main(pid: int, nproc: int, port: int, n_frames: int = 13,
          bench: bool = False, single: bool = False,
-         spatial: bool = False) -> None:
+         spatial: bool = False, ckpt: str = "", ckpt_at: int = 0,
+         ckpt_load: bool = False, pause_after_save: float = 0.0) -> None:
     import jax
     if not single:
         jax.distributed.initialize(f"127.0.0.1:{port}", nproc, pid)
@@ -93,8 +94,24 @@ def main(pid: int, nproc: int, port: int, n_frames: int = 13,
                 seq.images[i])
 
     # Stream s runs s frames behind -> genuinely different per-host state.
-    for i in range(n_frames - 1):
+    start = 0
+    if ckpt and ckpt_load:
+        # Elastic restart (SURVEY §5.4): every process reloads its OWN
+        # shard file and the pod resumes the same global frame schedule
+        # from the checkpoint frame.
+        runner.load_checkpoint(ckpt)
+        start = ckpt_at
+        print(f"CKPT_LOADED pid={pid} at={ckpt_at}", flush=True)
+    for i in range(start, n_frames - 1):
         runner.update([frame(max(i - s, 0)) for s in range(nproc)])
+        if ckpt and not ckpt_load and i + 1 == ckpt_at:
+            runner.save_checkpoint(ckpt)
+            print(f"CKPT_SAVED pid={pid} at={ckpt_at}", flush=True)
+            if pause_after_save > 0:
+                # Deterministic kill window for the failure-injection
+                # test: the job idles here so the harness can SIGKILL a
+                # worker after the checkpoint is durably on disk.
+                time.sleep(pause_after_save)
     # Drain BEFORE the last update so the checked raster runs over the
     # installed topology (single mode enqueues async: without a sync the
     # deferred jobs land only after the loop). Deterministic in both
@@ -149,10 +166,21 @@ def main(pid: int, nproc: int, port: int, n_frames: int = 13,
     runner.shutdown()
 
 
+def _opt(name: str, default: str = "") -> str:
+    for a in sys.argv[1:]:
+        if a.startswith(f"--{name}="):
+            return a.split("=", 1)[1]
+    return default
+
+
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     main(int(args[0]), int(args[1]), int(args[2]),
          int(args[3]) if len(args) > 3 else 13,
          bench="--bench" in sys.argv,
          single="--single" in sys.argv,
-         spatial="--spatial" in sys.argv)
+         spatial="--spatial" in sys.argv,
+         ckpt=_opt("ckpt"),
+         ckpt_at=int(_opt("ckpt-at", "0")),
+         ckpt_load="--ckpt-load" in sys.argv,
+         pause_after_save=float(_opt("pause-after-save", "0")))
