@@ -151,7 +151,13 @@ def main():
     # busy). The occupancy table is the ceiling proof: if h2d_occ ~ 1.0
     # and dispatch_occ is small, the engine is upload-bound on this link
     # and compute is fully hidden.
-    def run_sustained(seconds=12.0, win_size=6, depth=2):
+    # max_inflight default from the recorded round-5 sweep
+    # (FLAME_SUSTAINED_SWEEP, BENCH_NOTES): on this relay, inflight 2
+    # dominates — 90.8 fps / p50 290 ms / 0 drops vs 72.6 / 564 ms / 6
+    # drops at 4, and win 12 / win 3 drop hundreds of triangulations.
+    def run_sustained(seconds=12.0, win_size=6, depth=2, max_inflight=2):
+        from concurrent.futures import ThreadPoolExecutor
+
         def window(start):
             out = []
             for i in range(start, start + win_size):
@@ -174,62 +180,115 @@ def main():
         # (VERDICT r3 item 3: tri_d2h_occ 0.666 was the binding
         # constraint of this mode).
         engine.tri_d2h = "probe"
-        pending = [engine.prefetch_window(window(s + d * win_size))
-                   for d in range(depth)]
+        # (handle, t_arrival): arrival = when the window's frames enter
+        # the pipeline (prefetch/upload start) — the latency clock.
+        pending = [(engine.prefetch_window(window(s + d * win_size)),
+                    time.perf_counter()) for d in range(depth)]
         s += depth * win_size
         # Bounded in-flight: before enqueueing window w, force window
         # w-max_inflight to COMPLETE (4-byte probe pull). A free-running
         # enqueue loop posts hundreds of windows the device hasn't
         # computed, every triangulation drops, and the "fps" is a
-        # stale-topology fiction with unbounded latency. The probe costs
-        # one link RTT per window — part of honest streaming. (Gating on
+        # stale-topology fiction with unbounded latency. (Gating on
         # the tri-job future instead was tried and is a recorded
         # negative: under drop backpressure the newest job can be many
         # windows old, the bound degenerates, and drops cascade.)
-        max_inflight = 4
-        done_probe = []
+        #
+        # The probe PULL is issued immediately after dispatch on a
+        # dedicated puller thread (round 5, VERDICT r4 item 2: the
+        # synchronous pull-at-the-bound serialized one full link RTT
+        # into the loop — probe_wait_occ 0.501); the main loop only
+        # WAITS at the bound, by which time the pull has usually landed.
+        # The pull is a dependent read, so its completion timestamp IS
+        # the window's device-completion time — giving per-window
+        # latency (arrival → completion) for free.
+        puller = ThreadPoolExecutor(1)
+
+        def pull(p):
+            a = np.asarray(p)
+            return a, time.perf_counter()
+
+        inflight = []          # (future[(parr, t_done)], tok, t_arrival)
         n_frames = 0
-        probe_wait = 0.0   # main-loop block on the in-flight bound: the
-        t0 = time.perf_counter()   # probe pull completes when the device
-        while time.perf_counter() - t0 < seconds:   # finishes the window
-            pre = pending.pop(0)
-            pending.append(engine.prefetch_window(window(s)))
+        probe_wait = 0.0       # main-loop block on the in-flight bound
+        latencies = []         # per-window arrival→completion seconds
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < seconds:
+            pre, t_arr = pending.pop(0)
+            pending.append((engine.prefetch_window(window(s)),
+                            time.perf_counter()))
             s += win_size
             engine.update_window(prefetched=pre)
-            done_probe.append(engine.completion_probe())
-            if len(done_probe) > max_inflight:
-                p, tok = done_probe.pop(0)
+            p, tok = engine.completion_probe()
+            inflight.append((puller.submit(pull, p), tok, t_arr))
+            if len(inflight) > max_inflight:
+                fut, tok, t_arr = inflight.pop(0)
                 tw = time.perf_counter()
-                parr = np.asarray(p)
+                parr, t_done = fut.result()
                 probe_wait += time.perf_counter() - tw
+                latencies.append(t_done - t_arr)
                 engine.deliver_probe(tok, parr)
             n_frames += win_size
-        for pre in pending:  # drain outstanding uploads; these frames
-            engine.update_window(prefetched=pre)   # complete within the
-            n_frames += win_size                   # wall, so count them
+        for pre, t_arr in pending:  # drain outstanding uploads; these
+            engine.update_window(prefetched=pre)  # frames complete within
+            n_frames += win_size                  # the wall, so count them
             # Collect each drained window's probe: a poseframe window
             # schedules a snapshot future, and a later window would
             # overwrite it undelivered — the orphaned tri job then
             # stalls on its 2 s fallback and issues its own D2H into
             # the NEXT measured mode's link timings.
-            done_probe.append(engine.completion_probe())
-        for p, tok in done_probe:  # feed remaining snapshots to tri jobs
-            engine.deliver_probe(tok, np.asarray(p))
+            p, tok = engine.completion_probe()
+            inflight.append((puller.submit(pull, p), tok, t_arr))
+        for fut, tok, t_arr in inflight:  # feed remaining snapshots
+            parr, t_done = fut.result()
+            latencies.append(t_done - t_arr)
+            engine.deliver_probe(tok, parr)
         p, tok = engine.completion_probe()
         engine.deliver_probe(tok, np.asarray(p))
+        puller.shutdown(wait=True)
         engine.tri_d2h = "worker"
         np.asarray(engine.state.vtx_x[:1])
         wall = time.perf_counter() - t0
         occ = {k[:-2] + "_occ": round(v / wall, 3)
                for k, v in engine.perf.items() if k.endswith("_s")}
+        lat_ms = np.sort(np.asarray(latencies)) * 1e3
         occ.update({
             "probe_wait_occ": round(probe_wait / wall, 3),
             "fps": round(n_frames / wall, 2),
+            # End-to-end frame latency (VERDICT r4 weak #5): window
+            # arrival (upload start) → device completion (dependent
+            # probe-pull landing). Reference analog: the continuously
+            # published per-frame `latency` (flame_nodelet.cc:752).
+            "latency_ms_p50": round(float(np.percentile(lat_ms, 50)), 1)
+            if len(lat_ms) else None,
+            "latency_ms_p95": round(float(np.percentile(lat_ms, 95)), 1)
+            if len(lat_ms) else None,
             "uploads": engine.perf["n_uploads"],
             "stale_windows": engine._stale_tri_windows,
             "tri_dropped": engine._tri_dropped,
         })
         return occ
+
+    # Operator sweep mode (VERDICT r4 item 2: trade fps against the
+    # latency budget): FLAME_SUSTAINED_SWEEP=1 runs the sustained mode
+    # across (win_size, max_inflight) combos and prints one JSON line
+    # per combo — fps + p50/p95 latency — then exits. The driver's
+    # plain `python bench.py` path is unchanged.
+    if os.environ.get("FLAME_SUSTAINED_SWEEP"):
+        for win, infl in ((6, 2), (6, 3), (6, 4), (6, 6), (6, 8),
+                          (12, 2), (12, 4), (3, 4)):
+            try:
+                r = run_sustained(seconds=10.0, win_size=win,
+                                  max_inflight=infl)
+                print(json.dumps(
+                    {"sweep": {"win": win, "max_inflight": infl}, **r}),
+                    flush=True)
+            except Exception as e:
+                engine.tri_d2h = "worker"
+                print(json.dumps(
+                    {"sweep": {"win": win, "max_inflight": infl},
+                     "error": repr(e)}), flush=True)
+        return
 
     results = {}
     h2d_ms = rtt_ms = None
