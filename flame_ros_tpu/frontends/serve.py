@@ -146,9 +146,12 @@ class FlameServer:
                     uv, x, normals, tris, keep, edges = \
                         self.node.engine.get_inverse_depth_mesh()
                     buf = io.BytesIO()
+                    # K rides along so a remote viewer can backproject
+                    # without out-of-band calibration (viz/live_viewer).
                     np.savez(buf, vertices_px=uv, idepths=x,
                              normals=normals, triangles=tris,
-                             tri_validity=keep, edges=edges)
+                             tri_validity=keep, edges=edges,
+                             K=self.node.cam.K)
                     with lock:
                         send_msg(conn, {"type": "mesh"}, buf.getvalue())
                 elif t == "get_idepth":

@@ -53,30 +53,50 @@ const prog = gl.createProgram();
 gl.attachShader(prog, sh(gl.VERTEX_SHADER,VS));
 gl.attachShader(prog, sh(gl.FRAGMENT_SHADER,FS));
 gl.linkProgram(prog); gl.useProgram(prog);
-const xyz = new Float32Array(DATA.xyz);
-const nrm = new Float32Array(DATA.normals);
-const uv = new Float32Array(DATA.uv);
-const idx = new Uint32Array(DATA.tris);
 gl.getExtension('OES_element_index_uint');
 function buf(target,data){const b=gl.createBuffer();gl.bindBuffer(target,b);
 gl.bufferData(target,data,gl.STATIC_DRAW);return b;}
-const pb=buf(gl.ARRAY_BUFFER,xyz), nb=buf(gl.ARRAY_BUFFER,nrm),
- tb=buf(gl.ARRAY_BUFFER,uv), ib=buf(gl.ELEMENT_ARRAY_BUFFER,idx);
 function attr(name,b,size){const a=gl.getAttribLocation(prog,name);
 gl.bindBuffer(gl.ARRAY_BUFFER,b);gl.enableVertexAttribArray(a);
 gl.vertexAttribPointer(a,size,gl.FLOAT,false,0,0);}
-attr('p',pb,3); attr('n',nb,3); attr('t',tb,2);
 const tex = gl.createTexture();
 gl.bindTexture(gl.TEXTURE_2D, tex);
 gl.texImage2D(gl.TEXTURE_2D,0,gl.RGBA,1,1,0,gl.RGBA,gl.UNSIGNED_BYTE,
  new Uint8Array([128,128,128,255]));
-if (DATA.texture_png){ const im=new Image();
- im.onload=()=>{gl.bindTexture(gl.TEXTURE_2D,tex);
- gl.texImage2D(gl.TEXTURE_2D,0,gl.RGBA,gl.RGBA,gl.UNSIGNED_BYTE,im);
- gl.texParameteri(gl.TEXTURE_2D,gl.TEXTURE_MIN_FILTER,gl.LINEAR);
- gl.texParameteri(gl.TEXTURE_2D,gl.TEXTURE_WRAP_S,gl.CLAMP_TO_EDGE);
- gl.texParameteri(gl.TEXTURE_2D,gl.TEXTURE_WRAP_T,gl.CLAMP_TO_EDGE);};
- im.src='data:image/png;base64,'+DATA.texture_png; }
+// Mutable mesh buffers: setMesh re-uploads everything, so a live
+// client can stream growing meshes into the same page (reference
+// TexturedMeshVisual updateVertexBuffer/updateIndexBuffer semantics —
+// buffers are re-filled per message, the scene persists).
+let xyz,nrm,uv,idx,pb,nb,tb,ib,lpb,lnb,ltb,nverts=0;
+function setMesh(D){
+ xyz = new Float32Array(D.xyz);
+ nrm = new Float32Array(D.normals);
+ uv = new Float32Array(D.uv);
+ idx = new Uint32Array(D.tris);
+ pb=buf(gl.ARRAY_BUFFER,xyz); nb=buf(gl.ARRAY_BUFFER,nrm);
+ tb=buf(gl.ARRAY_BUFFER,uv); ib=buf(gl.ELEMENT_ARRAY_BUFFER,idx);
+ DATA.center=D.center; DATA.scale=D.scale;
+ if (D.texture_png){ const im=new Image();
+  im.onload=()=>{gl.bindTexture(gl.TEXTURE_2D,tex);
+  gl.texImage2D(gl.TEXTURE_2D,0,gl.RGBA,gl.RGBA,gl.UNSIGNED_BYTE,im);
+  gl.texParameteri(gl.TEXTURE_2D,gl.TEXTURE_MIN_FILTER,gl.LINEAR);
+  gl.texParameteri(gl.TEXTURE_2D,gl.TEXTURE_WRAP_S,gl.CLAMP_TO_EDGE);
+  gl.texParameteri(gl.TEXTURE_2D,gl.TEXTURE_WRAP_T,gl.CLAMP_TO_EDGE);};
+  im.src='data:image/png;base64,'+D.texture_png; }
+ // Surface-normal line overlay (reference SurfaceNormalsVisual line
+ // list): each vertex contributes a segment [p, p + len*n].
+ const nlen = DATA.scale*0.03;
+ nverts = xyz.length/3;
+ const lpos = new Float32Array(nverts*6), lnrm = new Float32Array(nverts*6),
+  luv = new Float32Array(nverts*4);
+ for(let i=0;i<nverts;i++){
+  for(let k=0;k<3;k++){ lpos[6*i+k]=xyz[3*i+k];
+   lpos[6*i+3+k]=xyz[3*i+k]+nlen*nrm[3*i+k];
+   lnrm[6*i+k]=nrm[3*i+k]; lnrm[6*i+3+k]=nrm[3*i+k]; } }
+ lpb=buf(gl.ARRAY_BUFFER,lpos); lnb=buf(gl.ARRAY_BUFFER,lnrm);
+ ltb=buf(gl.ARRAY_BUFFER,luv);
+}
+setMesh(DATA);
 let mode=0, showNormals=false, rotX=0, rotY=0, dist=3.0;
 function setMode(m){mode=m;} function toggleNormals(){showNormals=!showNormals;}
 cv.onmousedown=e=>{let lx=e.clientX,ly=e.clientY;
@@ -94,18 +114,6 @@ return mul(P,mul(Z,mul(R,T)));}
 function mul(A,B){const O=new Array(16).fill(0);
 for(let i=0;i<4;i++)for(let j=0;j<4;j++)for(let k=0;k<4;k++)
 O[j*4+i]+=A[k*4+i]*B[j*4+k];return O;}
-// Surface-normal line overlay (reference SurfaceNormalsVisual line list):
-// each vertex contributes a segment [p, p + len*n], colored by n.
-const nlen = DATA.scale*0.03;
-const nverts = xyz.length/3;
-const lpos = new Float32Array(nverts*6), lnrm = new Float32Array(nverts*6),
- luv = new Float32Array(nverts*4);
-for(let i=0;i<nverts;i++){
- for(let k=0;k<3;k++){ lpos[6*i+k]=xyz[3*i+k];
-  lpos[6*i+3+k]=xyz[3*i+k]+nlen*nrm[3*i+k];
-  lnrm[6*i+k]=nrm[3*i+k]; lnrm[6*i+3+k]=nrm[3*i+k]; } }
-const lpb=buf(gl.ARRAY_BUFFER,lpos), lnb=buf(gl.ARRAY_BUFFER,lnrm),
- ltb=buf(gl.ARRAY_BUFFER,luv);
 function draw(){
  gl.viewport(0,0,cv.width,cv.height);
  gl.clearColor(0.06,0.06,0.08,1); gl.enable(gl.DEPTH_TEST);
@@ -122,17 +130,41 @@ function draw(){
   gl.drawArrays(gl.LINES,0,nverts*2);
  }
  document.getElementById('info').textContent =
-  ` ${xyz.length/3} verts, ${idx.length/3} tris`;
+  ` ${xyz.length/3} verts, ${idx.length/3} tris` + (window.LIVE_STATUS||'');
  requestAnimationFrame(draw);}
 draw();
+__LIVE_SCRIPT__
 </script></body></html>
 """
 
+# Polling loop injected in place of __LIVE_SCRIPT__ by the live viewer
+# (viz/live_viewer.py): fetch the latest mesh JSON and re-upload the
+# buffers — the reference demo's "watch the mesh grow while the system
+# runs" UX (TexturedMeshDisplay processes a continuous mesh topic,
+# textured_mesh_display.cc:389-503).
+_LIVE_SCRIPT = """
+window.LIVE_STATUS = ' | live: connecting';
+let lastStamp = -1;
+async function poll(){
+ try{
+  const r = await fetch('mesh.json?since='+lastStamp);
+  if (r.status === 200){
+   const D = await r.json();
+   if (D.stamp !== lastStamp){ lastStamp = D.stamp; setMesh(D); }
+   window.LIVE_STATUS = ' | live: frame '+D.img_id;
+  }
+ } catch(e){ window.LIVE_STATUS = ' | live: disconnected'; }
+ setTimeout(poll, __PERIOD_MS__);
+}
+poll();
+"""
 
-def export_html_viewer(path: str, vertices_px, idepths, normals, tris,
-                       tri_keep, K, *, gray: np.ndarray = None,
-                       scale: float = None):
-    """Write a self-contained interactive mesh viewer HTML."""
+
+def mesh_viewer_data(vertices_px, idepths, normals, tris, tri_keep, K, *,
+                     gray: np.ndarray = None,
+                     scale: float = None) -> dict:
+    """Backproject a pixel-space mesh into the viewer's JSON buffer
+    layout (shared by the static export and the live poller)."""
     from flame_ros_tpu.viz.export import backproject_mesh
 
     keep = np.asarray(tri_keep, bool)
@@ -152,7 +184,7 @@ def export_html_viewer(path: str, vertices_px, idepths, normals, tris,
                                np.clip(gray, 0, 255).astype(np.uint8))
         if ok:
             tex_png = base64.b64encode(enc.tobytes()).decode()
-    data = {
+    return {
         "xyz": np.asarray(xyz, np.float32).ravel().tolist(),
         "normals": np.asarray(normals, np.float32).ravel().tolist(),
         "uv": np.asarray(uv, np.float32).ravel().tolist(),
@@ -161,6 +193,23 @@ def export_html_viewer(path: str, vertices_px, idepths, normals, tris,
         "scale": scale,
         "texture_png": tex_png,
     }
+
+
+def render_page(data: dict, live_period_ms: int = 0) -> str:
+    """Render the viewer HTML: static (live_period_ms=0) or with the
+    auto-refresh polling loop baked in."""
+    live = (_LIVE_SCRIPT.replace("__PERIOD_MS__", str(live_period_ms))
+            if live_period_ms > 0 else "")
+    return (_HTML.replace("__DATA__", json.dumps(data))
+            .replace("__LIVE_SCRIPT__", live))
+
+
+def export_html_viewer(path: str, vertices_px, idepths, normals, tris,
+                       tri_keep, K, *, gray: np.ndarray = None,
+                       scale: float = None):
+    """Write a self-contained interactive mesh viewer HTML."""
+    data = mesh_viewer_data(vertices_px, idepths, normals, tris,
+                            tri_keep, K, gray=gray, scale=scale)
     with open(path, "w") as f:
-        f.write(_HTML.replace("__DATA__", json.dumps(data)))
+        f.write(render_page(data))
     return path
