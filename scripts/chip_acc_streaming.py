@@ -1,0 +1,163 @@
+"""Chip acceptance THROUGH the streaming product path (VERDICT r4 weak
+#7 / item 8): prior CHIP_ACC rounds proved accuracy parity on the real
+TPU by driving per-frame `update()` with synchronous per-frame GT
+upload + telemetry pulls (1-3 fps of harness overhead), while the
+throughput claims rode the windowed/probe streaming loop — leaving a
+"fast path" vs "accurate path" split in the chip evidence.
+
+This runner closes it: the SAME windowed/probe streaming loop bench.py
+measures (packed window H2D with GT folded in, prefetch depth 2,
+deferred triangulation on the probe transport, async completion-probe
+pulls, in-flight bound 2) over the VGA/200 acceptance regime, with the
+per-window device stats vector pulled ASYNCHRONOUSLY on the probe
+thread — so acceptance-grade per-frame accuracy evaluation rides the
+streaming path at streaming speed.
+
+Prints one JSON line (CHIP_ACC_r05-style row) and exits nonzero if any
+acceptance gate fails. Run on the real chip (default env) or CPU
+(JAX_PLATFORMS=cpu).
+"""
+import json
+import os
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    from flame_ros_tpu.utils.platform import pin_requested_platform
+    pin_requested_platform()
+    import jax
+
+    from flame_ros_tpu.config import FlameParams
+    from flame_ros_tpu.datasets.synthetic import VGA, make_sequence
+    from flame_ros_tpu.frontends.offline_runner import TruthStats
+    from flame_ros_tpu.geometry.se3 import SE3
+    from flame_ros_tpu.models.engine import Flame
+
+    # The sequence is ALWAYS the 200-frame acceptance regime (its
+    # trajectory spans the full path — shorter n_frames would compress
+    # the motion into bigger per-frame steps and change the regime);
+    # CHIP_ACC_FRAMES only limits how many frames are streamed (smoke).
+    n_frames = int(os.environ.get("CHIP_ACC_FRAMES", "200"))
+    win = 6
+    max_inflight = 2
+    seq = make_sequence(n_frames=200, cam=VGA)
+    images = [np.clip(im, 0, 255).astype(np.uint8) for im in seq.images]
+    pose_q = [np.asarray(q) for q in seq.poses.q]
+    pose_t = [np.asarray(t) for t in seq.poses.t]
+    depths = [np.asarray(d, np.float32) for d in seq.depths]
+
+    engine = Flame(VGA.width, VGA.height, cam=VGA, params=FlameParams(),
+                   deferred_triangulation=True)
+    engine.tri_d2h = os.environ.get("CHIP_ACC_TRI_D2H", "probe")
+    # Every poseframe's topology must install (acceptance semantics —
+    # zero dropped triangulations), matching the bench's zero-drop gate.
+    engine.tri_backpressure = "block"
+
+    def window(start):
+        out, gts = [], []
+        for i in range(start, min(start + win, n_frames)):
+            out.append((float(seq.timestamps[i]), i,
+                        SE3(pose_q[i], pose_t[i]), images[i], i % 6 == 0))
+            gts.append(depths[i])
+        return out, np.stack(gts)
+
+    pool = ThreadPoolExecutor(2)
+
+    def pull(x):
+        a = np.asarray(x)
+        return a, time.perf_counter()
+
+    starts = list(range(0, n_frames, win))
+    # Streaming loop: prefetch depth 2, async probe + stats pulls.
+    pending = []
+    for d in range(2):
+        f, g = window(starts[d])
+        pending.append(engine.prefetch_window(f, gt_depths=g))
+    inflight = []       # (probe_fut, token, stats_fut, t_arr)
+    stats_rows = []
+    latencies = []
+    t0 = time.perf_counter()
+    for k, s in enumerate(starts):
+        pre = pending.pop(0)
+        nxt = k + 2
+        if nxt < len(starts):
+            f, g = window(starts[nxt])
+            pending.append(engine.prefetch_window(f, gt_depths=g))
+        t_arr = time.perf_counter()
+        engine.update_window(prefetched=pre)
+        p, tok = engine.completion_probe()
+        sfut = pool.submit(pull, engine._dev_stats_window)
+        inflight.append((pool.submit(pull, p), tok, sfut, t_arr))
+        if len(inflight) > max_inflight:
+            pf, tok_o, sf, ta = inflight.pop(0)
+            parr, t_done = pf.result()
+            engine.deliver_probe(tok_o, parr)
+            stats_rows.append(sf.result()[0])
+            latencies.append(t_done - ta)
+    for pf, tok_o, sf, ta in inflight:
+        parr, t_done = pf.result()
+        engine.deliver_probe(tok_o, parr)
+        stats_rows.append(sf.result()[0])
+        latencies.append(t_done - ta)
+    p, tok = engine.completion_probe()
+    engine.deliver_probe(tok, np.asarray(p))
+    wall = time.perf_counter() - t0
+    fps = n_frames / wall
+    engine.tri_d2h = "worker"
+    engine.shutdown()
+    pool.shutdown(wait=True)
+
+    # Per-frame acceptance metrics from the streamed stats rows.
+    from flame_ros_tpu.models.engine import DEVICE_STATS_KEYS
+    rmses, precs, recs, covs = [], [], [], []
+    for rows in stats_rows:
+        for row in np.atleast_2d(rows):
+            rec = dict(zip(DEVICE_STATS_KEYS, (float(v) for v in row)))
+            if rec.get("true_pos", -1) >= 0:
+                ts = TruthStats.from_record(rec)
+                rmses.append(ts.rmse)
+                if np.isfinite(ts.precision):
+                    precs.append(ts.precision)
+                if np.isfinite(ts.recall):
+                    recs.append(ts.recall)
+            covs.append(rec.get("coverage", 0.0))
+    lat = np.sort(np.asarray(latencies)) * 1e3
+    row = {
+        "metric": "chip_acc_streaming_vga200",
+        "path": "windowed/probe streaming (prefetch 2, inflight 2, "
+                "probe tri transport, async stats pulls)",
+        "backend": jax.default_backend(),
+        "frames": n_frames,
+        "fps": round(fps, 2),
+        "latency_ms_p50": round(float(np.percentile(lat, 50)), 1),
+        "latency_ms_p95": round(float(np.percentile(lat, 95)), 1),
+        "idepth_rmse": round(float(np.mean(rmses)), 5) if rmses else None,
+        "precision": round(float(np.mean(precs)), 4) if precs else None,
+        "recall": round(float(np.mean(recs)), 4) if recs else None,
+        "final_coverage": round(covs[-1], 4) if covs else None,
+        "tri_dropped": engine._tri_dropped,
+        "frames_evaluated": len(rmses),
+    }
+    # The SAME gates as the VGA/200 external-pose acceptance test.
+    gates = {
+        "rmse<0.05": bool(rmses and np.mean(rmses) < 0.05),
+        "precision>0.95": bool(precs and np.mean(precs) > 0.95),
+        "recall>0.85": bool(recs and np.mean(recs) > 0.85),
+        "zero_tri_drops": engine._tri_dropped == 0,
+        "all_frames_evaluated": len(rmses) == n_frames,
+        "full_regime": n_frames == 200,   # smoke runs can't pass
+    }
+    row["gates"] = gates
+    row["pass"] = all(gates.values())
+    print(json.dumps(row), flush=True)
+    sys.exit(0 if row["pass"] else 1)
+
+
+if __name__ == "__main__":
+    main()
