@@ -392,3 +392,35 @@ def test_ba_reprojection_constraints_recover_far_keyframe(setup):
     # and no other frame may be dragged off.
     assert after[3] < 0.4 * before[3], (before, after)
     assert after.max() < 0.02, after
+
+
+def test_hybrid_sharded_matches_unsharded(setup):
+    """The pod-scale live-path solver (hybrid_bundle_adjust_sharded —
+    matches replicated, window solve point-sharded) must agree with the
+    single-device one-round hybrid to f32 reduction-order tolerance."""
+    import jax
+    from jax.sharding import Mesh
+    from flame_ros_tpu.models.ba import (hybrid_bundle_adjust,
+                                         hybrid_bundle_adjust_sharded)
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4-device mesh")
+    seq, pyrs, q, t, uvp, gt_idepth, pv, K = setup
+    rng = np.random.default_rng(1)
+    noise = rng.normal(0, 0.01, (K, 6)).astype(np.float32)
+    noise[0] = 0
+    Tn = [SE3(q[k], t[k]) @ SE3.exp(jnp.asarray(noise[k]))
+          for k in range(K)]
+    qn = jnp.stack([p.q for p in Tn])
+    tn = jnp.stack([p.t for p in Tn])
+    d0 = jnp.asarray(gt_idepth.astype(np.float32))
+    kw = dict(cam=seq.cam, num_iters=4, coarse_iters=2, level=1)
+    r0 = hybrid_bundle_adjust(pyrs, qn, tn, jnp.ones(K, bool), uvp, d0,
+                              pv, rounds=1, **kw)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("feat",))
+    r1 = hybrid_bundle_adjust_sharded(
+        mesh, pyrs, qn, tn, jnp.ones(K, bool), uvp, d0, pv, **kw)
+    np.testing.assert_allclose(np.asarray(r0.q), np.asarray(r1.q),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(r0.t), np.asarray(r1.t),
+                               atol=2e-4)
+    assert np.isfinite(float(r1.final_cost))
