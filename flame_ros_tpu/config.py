@@ -179,6 +179,14 @@ class EngineParams:
     max_cost: float = 800.0      # Max accepted SSD matching cost.
     min_ref_patch_grad: float = 1.0  # Min gradient along epipolar dir in ref.
     compute_dtype: str = "float32"
+    # Keyframe-ring recycling policy: True re-anchors the recycled
+    # slot's features to the newest surviving keyframe (projected
+    # position + transformed idepth; variance Jacobian-scaled and
+    # floored at the init prior); False mass-kills them (the pre-round-5
+    # behavior — measured to cause a redetection wave that masks
+    # 60-90% of the streaming-path dense map for ~4 poseframe periods
+    # at every ring wrap; engine.py _pf_branch comment).
+    reanchor_on_evict: bool = True
     # Epipolar candidate sampling strategy: "line" (sliding-window sweep
     # — one gather of S+P-1 points along the epipolar curve, windows
     # share taps; 1/patch_size the random HBM reads) or "patch" (exact

@@ -57,7 +57,12 @@ def test_tracking_easy_vga200(capsys):
     assert s["ate_rmse"] < 0.01, s
     assert s["idepth_rmse"] < 0.05, s
     assert s["precision"] > 0.95, s
-    assert s["recall"] > 0.85, s
+    # Recall floor 0.82 since round 5: engine.reanchor_on_evict keeps
+    # the keyframe ring wrap from mass-killing the anchored cohort
+    # (streaming-path coverage no longer collapses 0.83->0.10 at every
+    # wrap) at a measured ~4 pp recall cost on the per-frame regimes
+    # (0.90 -> 0.854 here; PARITY round-5 re-anchor A/B).
+    assert s["recall"] > 0.82, s
 
 
 @pytest.mark.acceptance
@@ -69,7 +74,7 @@ def test_tracking_easy_ba_refine_vga200(capsys):
     assert s["ate_rmse"] < 0.008 * s["gt_path_length"], s
     assert s["ate_rmse_sim3"] < 0.01, s
     assert s["idepth_rmse"] < 0.05, s
-    assert s["recall"] > 0.85, s
+    assert s["recall"] > 0.82, s    # re-anchor tradeoff, see above
 
 
 @pytest.mark.acceptance
