@@ -45,19 +45,20 @@ def make_mesh(devices=None, stream_axis: int | None = None,
     `auto_for_streams=S` picks the topology by the RECORDED selection
     rule instead of trusting the caller (VERDICT r4 weak #3 — nothing
     previously stopped an operator configuring a measured-slower mesh).
-    Measured on the 4-vCPU mesh (SCALING_r04 spatial_axis_speedup rows,
-    two independent runs):
+    The record across rounds (spatial_axis_speedup rows, 4-vCPU mesh):
 
-        s1p2 (1 stream x 2 parts)  : 1.298x / 1.146x  <- pays
-        s1p4 (1 stream x 4 parts)  : 1.077x           <- marginal
-        s2p2 (2 streams x 2 parts) : 0.565x / 0.698x  <- NEGATIVE
+        s1p2: 1.298x / 1.146x (SCALING_r04) -> 0.923x / 0.980x (r05)
+        s1p4: 1.077x (r04)                  -> 0.841x / 0.833x (r05)
+        s2p2: 0.565x / 0.698x (r04)         -> 0.828x / 0.590x (r05)
 
-    so spatial partitioning is selected ONLY for a single stream with
-    >= 2 devices (parts=2 — measured faster than parts=4); any
-    multi-stream workload gets pure stream-dp, where dp efficiency is
-    the recorded 0.773-0.927. The s2p2 negative is attributed to host
-    contention on this VM (SCALING_r04 raw-iron control row); on real
-    multi-host ICI hardware re-measure before widening the rule.
+    Round 5's engine speedups (supersede/dispatch-time topology
+    installs, re-anchoring) made the PLAIN step faster, and the
+    single-stream spatial win no longer reproduces — every parts>1
+    configuration now measures neutral-to-negative on this host. The
+    auto rule therefore always selects pure stream-dp (recorded dp
+    efficiency 0.86-0.91); spatial partitioning stays available as an
+    explicit opt-in (`parts=`) for re-evaluation on real multi-host
+    ICI, where halo ppermutes ride a fabric this VM cannot emulate.
     Unused trailing devices are left off the mesh.
     """
     devices = list(devices) if devices is not None else jax.devices()
@@ -65,8 +66,6 @@ def make_mesh(devices=None, stream_axis: int | None = None,
         S = int(auto_for_streams)
         if S < 1:
             raise ValueError(f"auto_for_streams must be >= 1, got {S}")
-        if S == 1 and len(devices) >= 2:
-            return make_mesh(devices[:2], parts=2)
         import math
         n_use = math.gcd(S, len(devices))   # largest stream-dp split
         return make_mesh(devices[:n_use])   # that divides the batch
