@@ -147,6 +147,70 @@ def ate_rmse(est_t: np.ndarray, gt_t: np.ndarray,
     return float(np.sqrt(np.mean(np.sum(res ** 2, axis=1))))
 
 
+def _rotmats_from_quats(q: np.ndarray) -> np.ndarray:
+    """[N, 4] (w,x,y,z) unit quaternions -> [N, 3, 3] rotation matrices
+    (numpy, float64 — eval-side, never traced)."""
+    q = np.asarray(q, np.float64)
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    R = np.empty((len(q), 3, 3))
+    R[:, 0, 0] = 1 - 2 * (y * y + z * z)
+    R[:, 0, 1] = 2 * (x * y - w * z)
+    R[:, 0, 2] = 2 * (x * z + w * y)
+    R[:, 1, 0] = 2 * (x * y + w * z)
+    R[:, 1, 1] = 1 - 2 * (x * x + z * z)
+    R[:, 1, 2] = 2 * (y * z - w * x)
+    R[:, 2, 0] = 2 * (x * z - w * y)
+    R[:, 2, 1] = 2 * (y * z + w * x)
+    R[:, 2, 2] = 1 - 2 * (x * x + y * y)
+    return R
+
+
+def rpe(est_q: np.ndarray, est_t: np.ndarray,
+        gt_q: np.ndarray, gt_t: np.ndarray,
+        delta: int = 1) -> dict:
+    """Relative pose error over frame pairs (i, i+delta) — the TUM RGB-D
+    benchmark's evaluate_rpe protocol, the standard complement to ATE
+    for rotation-dominant paths: ATE on a short-baseline pan bounds
+    almost nothing (a 0.27 m path caps position error at centimetres no
+    matter how bad the rotations are), while rotational RPE sees every
+    per-frame orientation mistake directly. The reference never
+    evaluates trajectories (its poses are inputs); this follows the
+    public TUM tool so numbers are comparable across systems.
+
+    Per pair: E_i = (P_gt_i^-1 P_gt_{i+d})^-1 (P_est_i^-1 P_est_{i+d});
+    translational error = ||trans(E_i)|| (metres), rotational error =
+    angle(rot(E_i)) (degrees). Inputs: [N, 4] (w,x,y,z) quats + [N, 3]
+    positions, camera-to-world, frame-aligned est/gt. Returns rmse,
+    mean, and max for both error families.
+    """
+    est_q, est_t = np.asarray(est_q), np.asarray(est_t, np.float64)
+    gt_q, gt_t = np.asarray(gt_q), np.asarray(gt_t, np.float64)
+    n = len(est_t)
+    if n != len(gt_t) or n < delta + 1:
+        raise ValueError(f"need matched trajectories with > delta={delta} "
+                         f"poses, got {n} est / {len(gt_t)} gt")
+    Re, Rg = _rotmats_from_quats(est_q), _rotmats_from_quats(gt_q)
+    i, j = np.arange(n - delta), np.arange(delta, n)
+    # Relative motions P_i^-1 P_j: R_rel = R_i^T R_j, t_rel = R_i^T (t_j - t_i)
+    Re_rel = np.einsum("nba,nbc->nac", Re[i], Re[j])
+    te_rel = np.einsum("nba,nb->na", Re[i], est_t[j] - est_t[i])
+    Rg_rel = np.einsum("nba,nbc->nac", Rg[i], Rg[j])
+    tg_rel = np.einsum("nba,nb->na", Rg[i], gt_t[j] - gt_t[i])
+    # Error transform E = rel_gt^-1 rel_est
+    RE = np.einsum("nba,nbc->nac", Rg_rel, Re_rel)
+    tE = np.einsum("nba,nb->na", Rg_rel, te_rel - tg_rel)
+    t_err = np.linalg.norm(tE, axis=1)
+    cos = np.clip((np.trace(RE, axis1=1, axis2=2) - 1.0) / 2.0, -1.0, 1.0)
+    r_err = np.degrees(np.arccos(cos))
+    rms = lambda v: float(np.sqrt(np.mean(v ** 2)))
+    return {"trans_rmse": rms(t_err), "trans_mean": float(t_err.mean()),
+            "trans_max": float(t_err.max()),
+            "rot_rmse_deg": rms(r_err), "rot_mean_deg": float(r_err.mean()),
+            "rot_max_deg": float(r_err.max()), "delta": int(delta),
+            "pairs": int(n - delta)}
+
+
 @dataclass
 class TruthStats:
     true_pos: int

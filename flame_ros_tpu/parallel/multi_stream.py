@@ -20,6 +20,7 @@ triangulation stays per-stream on the host at poseframe rate.
 """
 from __future__ import annotations
 
+import os
 from collections import deque
 from functools import partial
 
@@ -602,8 +603,15 @@ class MultiStreamRunner:
             [self.S, e.max_features, e.max_keyframes,
              e.max_vertex_degree, e.spatial_parts], np.int64)
         fn = self._ckpt_file(path)
-        with open(fn, "wb") as f:
+        # Atomic publish: a crashing pod (or a watcher polling for the
+        # shard file, as the restart test does) must never observe a
+        # half-written NPZ — write to a temp name, fsync, then rename.
+        tmp = fn + ".tmp"
+        with open(tmp, "wb") as f:
             np.savez_compressed(f, **arrays)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, fn)
         return fn
 
     def load_checkpoint(self, path: str):
