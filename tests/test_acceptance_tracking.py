@@ -8,33 +8,40 @@ the keyframe ring). Input GT poses feed ONLY the ATE evaluation
 scale-free drift diagnostic); frame-0 GT depth bootstraps monocular
 scale (RGB-D-style init).
 
-Recorded matrix (2026-08-20, genuine CPU backend at HEAD with the
-platform pin — the 2026-08-19 recording was silently hijacked onto the
-TPU backend, see BENCH_NOTES §round-4 contamination; PARITY.md
-§tracking):
+Recorded matrix (2026-08-20 re-record at round-5 HEAD — re-anchor-on-
+evict default ON, see PARITY re-anchor A/B; genuine CPU backend with
+the platform pin). RPE columns are eval.metrics.rpe (TUM evaluate_rpe;
+VERDICT r4 weak #6: ATE on the 0.27 m rotation path bounds almost
+nothing, rotational RPE sees every per-frame orientation error):
 
-| regime       | ATE se3 | ATE sim3 | %path | rmse   | recall | failed |
-|--------------|---------|----------|-------|--------|--------|--------|
-| easy         | 0.0015  | 0.0015   | 0.06% | 0.0289 | 0.900  | 0      |
-| easy + BA    | 0.0054  | 0.0020   | 0.21% | 0.0307 | 0.901  | 0      |
-| lowtex       | 0.0058  | 0.0055   | 0.22% | 0.0314 | 0.902  | 0      |
-| lowtex + BA  | 0.0113  | 0.0058   | 0.43% | 0.0330 | 0.902  | 0      |
-| rotation     | 0.0127  | 0.0055   | (0.27 m path) | 0.0546 | 0.819 | 0 |
-| rotation + BA| 0.0136  | 0.0036   | (0.27 m path) | 0.0592 | 0.822 | 0  |
+| regime       | ATE se3 | sim3   | rmse   | recall | RPE rot°/fr | RPE30 rot° | failed |
+|--------------|---------|--------|--------|--------|-------------|------------|--------|
+| easy         | 0.0049  | 0.0046 | 0.0286 | 0.854  | 0.011       | 0.085      | 0 |
+| easy + BA    | 0.0069  | 0.0037 | 0.0305 | 0.857  | 0.012       | 0.089      | 0 |
+| lowtex       | 0.0085  | 0.0083 | 0.0322 | 0.870  | 0.132       | 0.205      | 0 |
+| lowtex + BA  | 0.0114  | 0.0045 | 0.0353 | 0.867  | 0.065       | 0.124      | 0 |
+| rotation     | 0.0089  | 0.0025 | 0.0356 | 0.780  | 0.009       | 0.156      | 0 |
+| rotation + BA| 0.0113  | 0.0034 | 0.0413 | 0.783  | 0.010       | 0.178      | 0 |
+| mav (6-DoF)  | 0.0115  | 0.0061 | 0.0390 | 0.754  | 0.015       | 0.108      | 0 |
+
+(easy/lowtex paths 2.64 m; rotation 0.27 m; mav 3.35 m. rpe_trans is
+<= 0.007 m/frame on every regime.)
 
 Findings the gates encode: (a) on translation-dominant motion the
 tracker holds ATE under ~0.5% of path at acceptance scale with ZERO
-failed frames on every regime; (b) BA tightens the scale-free drift
-where it matters most (rotation sim3 0.0055 -> 0.0036, abs_rel
-0.49 -> 0.24) and is roughly neutral on the easy regimes — the
-contaminated 2026-08-19 finding that "BA prevents 19 divergences on
-rotation" was a TPU-numerics artifact, not a product property; (c)
-rotation-dominant monocular tracking degrades DEPTH (tiny baselines —
-the regime the reference's angular-rate gate exists for,
-src/flame_nodelet.cc:644-662) while the trajectory stays bounded — the
-gates demand bounded ATE + no collapse there, not depth parity.
+failed frames on every regime; (b) per-frame rotation quality on the
+rotation-dominant pan is as good as the easy regime (RPE rot
+0.009°/frame vs 0.011 — the round-4 concern that the bounded-ATE gate
+could hide a rotation-quality regression is now closed by gating RPE
+directly); (c) the round-5 re-anchor default IMPROVED rotation depth
+(rmse 0.055 -> 0.036, ATE 0.0127 -> 0.0089 vs the round-4 record) at
+a ~4-7 pp recall cost across regimes; (d) rotation-dominant monocular
+tracking still degrades DEPTH (tiny baselines — the regime the
+reference's angular-rate gate exists for, src/flame_nodelet.cc:644-662)
+while trajectory and per-frame rotations stay tight — depth parity is
+not demanded there.
 
-Run with: pytest -m acceptance (nightly; ~12 min/run on 4 CPU cores).
+Run with: pytest -m acceptance (nightly; ~15 min/run on 4 CPU cores).
 """
 import json
 
@@ -63,6 +70,9 @@ def test_tracking_easy_vga200(capsys):
     # wrap) at a measured ~4 pp recall cost on the per-frame regimes
     # (0.90 -> 0.854 here; PARITY round-5 re-anchor A/B).
     assert s["recall"] > 0.82, s
+    # Per-frame drift (recorded 0.0006 m / 0.011 deg; ~4x headroom).
+    assert s["rpe_trans_rmse"] < 0.003, s
+    assert s["rpe_rot_rmse_deg"] < 0.05, s
 
 
 @pytest.mark.acceptance
@@ -84,19 +94,58 @@ def test_tracking_low_texture_vga200(capsys):
     assert s["ate_rmse"] < 0.01 * s["gt_path_length"], s
     assert s["idepth_rmse"] < 0.06, s
     assert s["recall"] > 0.85, s
+    # Weak texture costs per-frame precision (recorded 0.132°/frame vs
+    # easy 0.011) but must stay an order under a degree.
+    assert s["rpe_rot_rmse_deg"] < 0.4, s
+
+
+@pytest.mark.acceptance
+def test_tracking_rotation_vga200(capsys):
+    """Rotation-dominant stress, tracker alone (VERDICT r4 weak #6):
+    ATE on the 0.27 m pan path is a weak bound, so the gate that
+    carries this regime is ROTATIONAL RPE — recorded 0.0093°/frame
+    (as tight as the easy regime's 0.0108): per-frame orientation
+    quality does NOT degrade under rotation-dominant motion; a 2-3x
+    regression trips the 0.03 bound. Depth parity is NOT demanded
+    (monocular depth needs baseline — the reference gates its own
+    output during rotation, src/flame_nodelet.cc:644-662)."""
+    s = _run(capsys, "--motion", "rotation")
+    assert s["frames"] == 200 and s["failed"] == 0
+    assert s["rpe_rot_rmse_deg"] < 0.03, s
+    assert s["rpe30_rot_rmse_deg"] < 0.5, s
+    assert s["rpe_trans_rmse"] < 0.003, s
+    assert s["ate_rmse_sim3"] < 0.01, s
+    assert s["ate_rmse"] < 0.03, s
+    assert s["recall"] > 0.73, s
+    assert s["idepth_rmse"] < 0.06, s   # recorded 0.0356 (r4: 0.0546)
 
 
 @pytest.mark.acceptance
 def test_tracking_rotation_ba_vga200(capsys):
     """Rotation-dominant stress with BA: the trajectory must stay
-    bounded (no divergence) and the pipeline healthy; depth parity is
-    NOT demanded here (monocular depth needs baseline — the reference
-    gates its own output during rotation)."""
+    bounded (no divergence) and the pipeline healthy; same RPE bars as
+    the tracker-alone arm (BA must not loosen per-frame rotations)."""
     s = _run(capsys, "--motion", "rotation", "--ba-refine")
     assert s["frames"] == 200 and s["failed"] == 0
+    assert s["rpe_rot_rmse_deg"] < 0.03, s
+    assert s["rpe30_rot_rmse_deg"] < 0.5, s
     assert s["ate_rmse_sim3"] < 0.015, s
     assert s["ate_rmse"] < 0.03, s
     assert s["recall"] > 0.75, s
+
+
+@pytest.mark.acceptance
+def test_tracking_mav_vga200(capsys):
+    """6-DoF MAV regime (BASELINE config 3 stand-in) in tracking mode:
+    all six DoF excited at once. Recorded: ATE 0.0115 (0.34% of the
+    3.35 m path), RPE rot 0.015°/frame, zero failed frames."""
+    s = _run(capsys, "--motion", "mav")
+    assert s["frames"] == 200 and s["failed"] == 0
+    assert s["ate_rmse"] < 0.007 * s["gt_path_length"], s
+    assert s["rpe_rot_rmse_deg"] < 0.05, s
+    assert s["rpe_trans_rmse"] < 0.003, s
+    assert s["recall"] > 0.70, s
+    assert s["idepth_rmse"] < 0.06, s
 
 
 @pytest.mark.acceptance

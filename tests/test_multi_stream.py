@@ -352,3 +352,27 @@ def test_runner_checkpoint_capacity_mismatch_rejected(seq, tmp_path):
     with pytest.raises(ValueError, match="capacities"):
         b.load_checkpoint(fn)
     b.shutdown()
+
+
+def test_runner_checkpoint_publish_is_atomic(seq, tmp_path):
+    """The shard file must appear only as a COMPLETE npz (temp-write +
+    os.replace): a pod watcher polling for the file — the kill/restart
+    harness does exactly this — must never load a half-written archive,
+    and a re-save over an existing checkpoint must replace it cleanly."""
+    import os
+
+    a = ms.MultiStreamRunner(seq.cam, num_streams=2, params=_params())
+    a.update([_frames(seq, 0), _frames(seq, 0)])
+    fn = a.save_checkpoint(str(tmp_path / "atomic_ckpt"))
+    assert os.path.exists(fn)
+    assert not os.path.exists(fn + ".tmp"), "temp file leaked"
+    # Re-save over the same path (os.replace over an existing file).
+    a.update([_frames(seq, 1), _frames(seq, 1)])
+    fn2 = a.save_checkpoint(str(tmp_path / "atomic_ckpt"))
+    assert fn2 == fn and os.path.getsize(fn) > 0
+    assert not os.path.exists(fn + ".tmp")
+    a.shutdown()
+    # The published file is a complete, loadable archive both times.
+    b = ms.MultiStreamRunner(seq.cam, num_streams=2, params=_params())
+    b.load_checkpoint(fn)
+    b.shutdown()

@@ -74,6 +74,13 @@ def test_runner_tracking_mode(tmp_path, capsys):
     assert summary["gt_path_length"] > 1.0
     assert summary["ate_rmse"] < 0.01 * summary["gt_path_length"], summary
     assert summary["ate_rmse_sim3"] <= summary["ate_rmse"] + 1e-6
+    # RPE (TUM evaluate_rpe) rides the same block: per-frame drift must
+    # be small on the easy regime; delta=30 needs >30 poses so it is
+    # present here (40 frames) and larger than the per-frame row.
+    assert summary["rpe_trans_rmse"] is not None
+    assert summary["rpe_trans_rmse"] < 0.02, summary
+    assert summary["rpe_rot_rmse_deg"] < 0.5, summary
+    assert summary["rpe30_trans_rmse"] is not None
     # Depth metrics still flow (estimated poses, so looser than external).
     assert summary["idepth_rmse"] is not None
     assert summary["idepth_rmse"] < 0.12
