@@ -213,42 +213,51 @@ def main():
         probe_wait = 0.0       # main-loop block on the in-flight bound
         latencies = []         # per-window arrival→completion seconds
         t0 = time.perf_counter()
-        while time.perf_counter() - t0 < seconds:
-            pre, t_arr = pending.pop(0)
-            pending.append((engine.prefetch_window(window(s)),
-                            time.perf_counter()))
-            s += win_size
-            engine.update_window(prefetched=pre)
-            p, tok = engine.completion_probe()
-            inflight.append((puller.submit(pull, p), tok, t_arr))
-            if len(inflight) > max_inflight:
-                fut, tok, t_arr = inflight.pop(0)
-                tw = time.perf_counter()
+        # try/finally: a mode failing mid-loop (sweep combos, OOM) must
+        # not leak the puller thread, leave tri_d2h="probe", or abandon
+        # an undelivered probe whose orphaned tri job would stall into
+        # the NEXT mode's timed loop (2 s fallback + its own D2H).
+        try:
+            while time.perf_counter() - t0 < seconds:
+                pre, t_arr = pending.pop(0)
+                pending.append((engine.prefetch_window(window(s)),
+                                time.perf_counter()))
+                s += win_size
+                engine.update_window(prefetched=pre)
+                p, tok = engine.completion_probe()
+                inflight.append((puller.submit(pull, p), tok, t_arr))
+                if len(inflight) > max_inflight:
+                    fut, tok, t_arr = inflight.pop(0)
+                    tw = time.perf_counter()
+                    parr, t_done = fut.result()
+                    probe_wait += time.perf_counter() - tw
+                    latencies.append(t_done - t_arr)
+                    engine.deliver_probe(tok, parr)
+                n_frames += win_size
+            for pre, t_arr in pending:  # drain outstanding uploads;
+                engine.update_window(prefetched=pre)  # these frames
+                n_frames += win_size  # complete within the wall: count
+                # Collect each drained window's probe: a poseframe
+                # window schedules a snapshot future, and a later window
+                # would overwrite it undelivered — the orphaned tri job
+                # then stalls on its 2 s fallback and issues its own D2H
+                # into the NEXT measured mode's link timings.
+                p, tok = engine.completion_probe()
+                inflight.append((puller.submit(pull, p), tok, t_arr))
+            for fut, tok, t_arr in inflight:  # feed remaining snapshots
                 parr, t_done = fut.result()
-                probe_wait += time.perf_counter() - tw
                 latencies.append(t_done - t_arr)
                 engine.deliver_probe(tok, parr)
-            n_frames += win_size
-        for pre, t_arr in pending:  # drain outstanding uploads; these
-            engine.update_window(prefetched=pre)  # frames complete within
-            n_frames += win_size                  # the wall, so count them
-            # Collect each drained window's probe: a poseframe window
-            # schedules a snapshot future, and a later window would
-            # overwrite it undelivered — the orphaned tri job then
-            # stalls on its 2 s fallback and issues its own D2H into
-            # the NEXT measured mode's link timings.
-            p, tok = engine.completion_probe()
-            inflight.append((puller.submit(pull, p), tok, t_arr))
-        for fut, tok, t_arr in inflight:  # feed remaining snapshots
-            parr, t_done = fut.result()
-            latencies.append(t_done - t_arr)
-            engine.deliver_probe(tok, parr)
-        p, tok = engine.completion_probe()
-        engine.deliver_probe(tok, np.asarray(p))
-        puller.shutdown(wait=True)
-        engine.tri_d2h = "worker"
-        np.asarray(engine.state.vtx_x[:1])
-        wall = time.perf_counter() - t0
+            np.asarray(engine.state.vtx_x[:1])
+            wall = time.perf_counter() - t0
+        finally:
+            puller.shutdown(wait=False, cancel_futures=True)
+            engine.tri_d2h = "worker"
+            try:  # hand any still-undelivered probe its snapshot
+                p, tok = engine.completion_probe()
+                engine.deliver_probe(tok, np.asarray(p))
+            except Exception:
+                pass
         occ = {k[:-2] + "_occ": round(v / wall, 3)
                for k, v in engine.perf.items() if k.endswith("_s")}
         lat_ms = np.sort(np.asarray(latencies)) * 1e3
@@ -284,7 +293,10 @@ def main():
                     {"sweep": {"win": win, "max_inflight": infl}, **r}),
                     flush=True)
             except Exception as e:
-                engine.tri_d2h = "worker"
+                # tri_d2h/puller/probe were cleaned by run_sustained's
+                # finally; drop half-issued uploads + queued tri jobs so
+                # the next combo starts clean.
+                engine.shutdown()
                 print(json.dumps(
                     {"sweep": {"win": win, "max_inflight": infl},
                      "error": repr(e)}), flush=True)

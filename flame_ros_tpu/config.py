@@ -182,7 +182,10 @@ class EngineParams:
     # Keyframe-ring recycling policy: True re-anchors the recycled
     # slot's features to the newest surviving keyframe (projected
     # position + transformed idepth; variance Jacobian-scaled and
-    # floored at the init prior); False mass-kills them (the pre-round-5
+    # 2x-inflated, with NO absolute floor — flooring at the init prior
+    # was measured to push every re-anchored feature out of the
+    # graph-insertion gate, a 5 pp recall dip; engine.py _pf_branch);
+    # False mass-kills them (the pre-round-5
     # behavior — measured to cause a redetection wave that masks
     # 60-90% of the streaming-path dense map for ~4 poseframe periods
     # at every ring wrap; engine.py _pf_branch comment).

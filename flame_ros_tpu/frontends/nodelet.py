@@ -661,3 +661,7 @@ def main(argv=None):
     flame_ros_tpu.frontends.serve."""
     from flame_ros_tpu.frontends.serve import main as serve_main
     return serve_main(argv)
+
+
+if __name__ == "__main__":
+    main()

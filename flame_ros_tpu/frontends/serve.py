@@ -72,16 +72,47 @@ class FlameServer:
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._srv.bind((host, port))
-        self._srv.listen(1)
+        self._srv.listen(8)
         self.port = self._srv.getsockname()[1]
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        # Serializes engine product reads (get_mesh/get_idepth) across
+        # concurrent client connections.
+        self._products_lock = threading.Lock()
 
-    def start(self):
+    def start(self, warmup: bool = True):
+        if warmup:
+            self._warmup()
         self.node.start()
         self._thread = threading.Thread(target=self._accept_loop,
                                         daemon=True)
         self._thread.start()
+
+    def _warmup(self):
+        """Compile the engine executables BEFORE serving frames. The
+        first update otherwise stalls tens of seconds (cold jit) while
+        a live client's frames overflow the nodelet's drop-newest
+        queue — a short streamed sequence can lose every frame to the
+        warmup window. Deferring the accept loop instead gives TCP
+        backpressure: early clients sit in the listen backlog and
+        nothing drops. A THROWAWAY engine with identical (cam, params)
+        shares the module-level jit caches (engine steps are
+        module-level jits keyed on static cam/params), so the product
+        engine's state is untouched."""
+        from flame_ros_tpu.geometry.se3 import SE3
+        from flame_ros_tpu.models.engine import Flame
+
+        cam = self.node.cam
+        eng = Flame(cam.width, cam.height, cam=cam,
+                    params=self.node.params)
+        # A textured (non-constant) image keeps every detection /
+        # gradient path honest; content is irrelevant for compilation.
+        yy, xx = np.mgrid[:cam.height, :cam.width]
+        img = ((xx * 13 + yy * 7) % 251).astype(np.float32)
+        pose = SE3.identity()
+        eng.update(0.0, 0, pose, img, is_poseframe=True)   # pf variant
+        eng.update(1 / 30.0, 1, pose, img, is_poseframe=False)
+        eng.shutdown()
 
     def stop(self):
         self._stop.set()
@@ -92,18 +123,32 @@ class FlameServer:
             pass
 
     def _accept_loop(self):
+        # One thread per connection: the live-viewer UX needs (at least)
+        # two concurrent clients — a frame streamer and a mesh poller —
+        # and a client dropping mid-reply must never take the server
+        # down with it (each connection's errors stay in its own
+        # thread; see _run_conn).
         while not self._stop.is_set():
             try:
                 conn, _ = self._srv.accept()
             except OSError:
                 return
+            threading.Thread(target=self._run_conn, args=(conn,),
+                             daemon=True).start()
+
+    def _run_conn(self, conn: socket.socket):
+        try:
+            self._serve_conn(conn)
+        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+            # A malformed message or a mid-send disconnect
+            # (BrokenPipeError/ConnectionResetError are OSErrors) ends
+            # THIS connection only; the accept loop keeps serving.
+            pass
+        finally:
             try:
-                self._serve_conn(conn)
-            finally:
-                try:
-                    conn.close()
-                except OSError:
-                    pass
+                conn.close()
+            except OSError:
+                pass
 
     def _serve_conn(self, conn: socket.socket):
         lock = threading.Lock()
@@ -143,8 +188,9 @@ class FlameServer:
                             jnp.asarray(poses[:, 4:7])))
                 elif t == "get_mesh":
                     import io
-                    uv, x, normals, tris, keep, edges = \
-                        self.node.engine.get_inverse_depth_mesh()
+                    with self._products_lock:
+                        uv, x, normals, tris, keep, edges = \
+                            self.node.engine.get_inverse_depth_mesh()
                     buf = io.BytesIO()
                     # K rides along so a remote viewer can backproject
                     # without out-of-band calibration (viz/live_viewer).
@@ -155,7 +201,8 @@ class FlameServer:
                     with lock:
                         send_msg(conn, {"type": "mesh"}, buf.getvalue())
                 elif t == "get_idepth":
-                    m = self.node.engine.get_inverse_depth_map()
+                    with self._products_lock:
+                        m = self.node.engine.get_inverse_depth_map()
                     m = (m if m is not None
                          else np.full((self.node.cam.height,
                                        self.node.cam.width), np.nan,
@@ -188,6 +235,9 @@ def main(argv=None):
     p.add_argument("--config")
     p.add_argument("--pose-source", default="external",
                    choices=["external", "tracking"])
+    p.add_argument("--no-warmup", action="store_true",
+                   help="skip the pre-serve compile warmup (frames "
+                        "arriving during the first jit then drop)")
     args = p.parse_args(argv)
     cam = Pinhole(args.fx, args.fy, args.cx, args.cy, args.width,
                   args.height)
@@ -195,9 +245,13 @@ def main(argv=None):
               else FlameParams())
     srv = FlameServer(cam, params, host=args.host, port=args.port,
                       pose_source=args.pose_source)
-    srv.start()
+    srv.start(warmup=not args.no_warmup)
     print(f"flame-serve listening on {args.host}:{srv.port}")
     try:
         threading.Event().wait()
     except KeyboardInterrupt:
         srv.stop()
+
+
+if __name__ == "__main__":   # `python -m flame_ros_tpu.frontends.serve`
+    main()

@@ -920,6 +920,13 @@ class Flame:
         self._pending_probe = None   # (device buf, Future) awaiting pull
         self._topo_installs = 0      # lifetime topology installs (diag)
         self._tri_superseded = 0     # built topologies skipped for newer
+        # Host-side watermark of the last installed topology. Installs
+        # arrive from two independent paths in the prefetched streaming
+        # loop — the async pending-job drain and the pack-time-merged
+        # upload (built PREFETCH-DEPTH windows earlier) — so ordering by
+        # call sequence alone can go backwards; _install_topology skips
+        # any topology older than this watermark.
+        self._installed_topo_wm = -1
         self._probe_timeout = 2.0    # worker fallback if never delivered
         self._pending_tri = deque()  # in-flight deferred jobs, oldest first
         self._tri_dropped = 0  # retriangulations skipped under link pressure
@@ -1010,10 +1017,10 @@ class Flame:
                     self._pack_segments(
                         [(time, img_id, pose, img_gray, is_pf)],
                         gt[None] if has_gt else None)
-                packed, topo_len = self._merge_ready_topo(packed)
+                packed, topo_len, topo_wm = self._merge_ready_topo(packed)
                 self._dispatch_packed(self._timed_put(packed), seg_gt,
                                       first_is_pf, any_pf, B, mid,
-                                      topo_len=topo_len)
+                                      topo_len=topo_len, topo_wm=topo_wm)
             else:
                 with s.scope("frame_creation"):
                     if img_pyr is not None:
@@ -1148,7 +1155,7 @@ class Flame:
                 # compute, not a new sync point.
                 self._apply_pending_triangulation(block=False)
                 for (fut, gfut, first_is_pf, any_pf, B, mid,
-                     topo_len) in prefetched:
+                     topo_len, topo_wm) in prefetched:
                     tw = time_mod.perf_counter()
                     dev = fut.result()
                     gdev = gfut.result() if gfut else None
@@ -1160,7 +1167,8 @@ class Flame:
                     self.stats_.set_timing("update_locking",
                                            waited * 1e3 / max(B, 1))
                     self._dispatch_packed(dev, gdev, first_is_pf, any_pf,
-                                          B, mid, topo_len=topo_len)
+                                          B, mid, topo_len=topo_len,
+                                          topo_wm=topo_wm)
                 return True
             if self._prefetch_issued:
                 raise RuntimeError(
@@ -1170,11 +1178,12 @@ class Flame:
                      if gt_depths is not None else None)
             for packed, seg_gt, first_is_pf, any_pf, B, mid in \
                     self._pack_segments(frames, gt_np):
-                packed, topo_len = self._merge_ready_topo(packed)
+                packed, topo_len, topo_wm = self._merge_ready_topo(packed)
                 self._dispatch_packed(
                     self._timed_put(packed),
                     jax.device_put(seg_gt) if seg_gt is not None else None,
-                    first_is_pf, any_pf, B, mid, topo_len=topo_len)
+                    first_is_pf, any_pf, B, mid, topo_len=topo_len,
+                    topo_wm=topo_wm)
             self._maybe_profile_stages(frames[-1][2], frames[-1][3],
                                        n_frames=len(frames))
             return True
@@ -1220,12 +1229,12 @@ class Flame:
         handle = []
         for packed, seg_gt, first_is_pf, any_pf, B, mid in \
                 self._pack_segments(frames, gt_np):
-            packed, topo_len = self._merge_ready_topo(packed)
+            packed, topo_len, topo_wm = self._merge_ready_topo(packed)
             fut = self._h2d_pool.submit(self._timed_put, packed)
             gfut = (self._h2d_pool.submit(jax.device_put, seg_gt)
                     if seg_gt is not None else None)
             handle.append((fut, gfut, first_is_pf, any_pf, B, mid,
-                           topo_len))
+                           topo_len, topo_wm))
         self._prefetch_issued.append(handle)
         self.perf["pack_s"] = (self.perf.get("pack_s", 0.0)
                                + time_mod.perf_counter() - tp)
@@ -1248,7 +1257,7 @@ class Flame:
         dispatch installs the carried topology before the window step."""
         if (self.topo_upload != "merged" or not self._pending_tri
                 or not self._pending_tri[0].done()):
-            return packed, 0
+            return packed, 0, -1
         # Collapse the done prefix and carry only the NEWEST completed
         # topology: topology is snapshot state — installing an older one
         # when a newer has already been built just re-rasters through a
@@ -1261,13 +1270,16 @@ class Flame:
         # "installs" kept counting. The jobs run on a single FIFO
         # worker, so the done prefix is contiguous.
         topo = None
+        topo_wm = -1
         while self._pending_tri and self._pending_tri[0].done():
             if topo is not None:
                 self._tri_superseded += 1
-            topo = self._pending_tri.popleft().result()
+            fut = self._pending_tri.popleft()
+            topo = fut.result()
+            topo_wm = getattr(fut, "wm", -1)
         flat = np.concatenate([packed.reshape(-1),
                                topo.view(np.uint8)])
-        return flat, int(topo.shape[0])
+        return flat, int(topo.shape[0]), topo_wm
 
     def _force_first_poseframe(self, frames):
         if self._num_poseframes == 0 and frames:
@@ -1287,6 +1299,7 @@ class Flame:
         path. With block=True every pending job drains."""
         applied = False
         buf = None
+        buf_wm = None
         while self._pending_tri:
             fut = self._pending_tri[0]
             if not block and not fut.done():
@@ -1297,10 +1310,11 @@ class Flame:
                 # is worth installing (see _merge_ready_topo).
                 self._tri_superseded += 1
             buf = fut.result()
+            buf_wm = getattr(fut, "wm", None)
         if buf is not None:
             if isinstance(buf, np.ndarray):  # merged mode holds host bufs
                 buf = jax.device_put(buf)
-            self._install_topology(buf)
+            self._install_topology(buf, wm=buf_wm)
             applied = True
         if not applied and self._pending_tri:
             self._stale_tri_windows += 1
@@ -1346,7 +1360,8 @@ class Flame:
         return segs
 
     def _dispatch_packed(self, packed_dev, gt_dev, first_is_pf, any_pf, B,
-                         seg_max_id: int = 0, topo_len: int = 0):
+                         seg_max_id: int = 0, topo_len: int = 0,
+                         topo_wm: int = -1):
         """Dispatch one packed (already on-device) segment, then
         retriangulate if it contained a poseframe."""
         # Watermark advances at DISPATCH time (prefetched windows pack
@@ -1362,7 +1377,11 @@ class Flame:
             win = packed_dev[:B * F].reshape(B, F)
             topo_u8 = packed_dev[B * F:].reshape(topo_len, 4)
             topo_i32 = jax.lax.bitcast_convert_type(topo_u8, jnp.int32)
-            self._install_topology(topo_i32)
+            # topo_wm: the merge happened up to PREFETCH-DEPTH windows
+            # ago; the monotonic guard skips this install if the async
+            # drain already put a newer build in place.
+            self._install_topology(topo_i32,
+                                   wm=topo_wm if topo_wm >= 0 else None)
             packed_dev = win
         if self.topo_upload == "merged":
             if self._pending_tri and not topo_len:
@@ -1509,7 +1528,7 @@ class Flame:
                 buf = fut.result()
                 if isinstance(buf, np.ndarray):
                     buf = jax.device_put(buf)
-                self._install_topology(buf)
+                self._install_topology(buf, wm=getattr(fut, "wm", None))
         # ONE packed device buffer -> one D2H round-trip on the worker
         # (two separate pulls cost two link RTTs on tunneled backends).
         N = self.params.engine.max_features
@@ -1562,7 +1581,11 @@ class Flame:
                 return topo
             return jax.device_put(topo)
 
-        self._pending_tri.append(self._tri_pool.submit(job))
+        fut = self._tri_pool.submit(job)
+        # Tag the job with its build watermark so install sites can
+        # enforce monotonicity host-side (see _install_topology).
+        fut.wm = wm
+        self._pending_tri.append(fut)
 
     # -- completion-probe transport (tri_d2h == "probe") -----------------
     def completion_probe(self):
@@ -1626,24 +1649,43 @@ class Flame:
             inc_e.ravel(), inc_s.astype(np.int32).ravel(),
             np.asarray([watermark], np.int32)])
 
-    def _install_topology(self, buf_dev):
+    def _install_topology(self, buf_dev, *, wm=None):
         """Unpack a packed topology upload on device and swap it into the
         engine state (duals reset: the dual space changes with the edge
-        set)."""
+        set).
+
+        wm: host-side frame-id watermark of the topology, when the caller
+        knows it. Installs are monotonic in wm: a topology older than the
+        installed one is skipped (counted in _tri_superseded) — in the
+        prefetched streaming loop a pack-time-merged topology arrives
+        PREFETCH-DEPTH windows after it was merged, by which time the
+        async drain may have installed a newer build; installing the
+        older one would roll topo_frame_id backwards and re-mask fresh
+        triangles. wm=None (unknown/forced) installs unconditionally and
+        leaves the guard untouched."""
+        if wm is not None:
+            if wm < self._installed_topo_wm:
+                self._tri_superseded += 1
+                return
+            self._installed_topo_wm = wm
         e = self.params.engine
-        tris, tv, edges, ev, inc_e, inc_s, wm = _unpack_topology(
+        tris, tv, edges, ev, inc_e, inc_s, dwm = _unpack_topology(
             buf_dev, T=e.max_triangles, E=e.max_edges,
             N=e.max_features, D=e.max_vertex_degree)
         self.state = self.state._replace(
             tris=tris, tri_valid=tv, edges=edges, edge_valid=ev,
-            inc_edges=inc_e, inc_sign=inc_s, topo_frame_id=wm,
+            inc_edges=inc_e, inc_sign=inc_s, topo_frame_id=dwm,
             edge_q=jnp.zeros_like(self.state.edge_q))
         self._topo_installs += 1
 
     def _apply_topology(self, uv: np.ndarray, eligible: np.ndarray,
                         watermark: int = 2 ** 30):
-        self._install_topology(jax.device_put(
-            self._build_topology_host(uv, eligible, watermark)))
+        # The 2**30 sentinel means "no freshness gating" (truth-injection
+        # style installs) — it must not poison the monotonic guard.
+        self._install_topology(
+            jax.device_put(self._build_topology_host(uv, eligible,
+                                                     watermark)),
+            wm=None if watermark >= 2 ** 30 else watermark)
 
     # -- getters (reference flame::Flame surface) ------------------------
     def _tri_fresh(self):
@@ -1825,6 +1867,9 @@ class Flame:
         self._frame_count = int(host[1])
         self._kf_slot = int(host[2])
         self._host_idepth_frame = -1
+        # The restored state's frame ids may be older than anything this
+        # engine instance installed; reset the monotonic install guard.
+        self._installed_topo_wm = -1
 
     def stats(self) -> StatsTracker:
         return self.stats_

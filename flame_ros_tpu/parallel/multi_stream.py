@@ -336,12 +336,24 @@ class MultiStreamRunner:
     the compiled step free of per-stream control flow."""
 
     def __init__(self, cam: Pinhole, num_streams: int,
-                 params: FlameParams | None = None, mesh: Mesh | None = None,
+                 params: FlameParams | None = None,
+                 mesh: Mesh | str | None = None,
                  deferred_triangulation: bool = False):
         self.cam = cam
         self.S = num_streams
         self.params = (params or FlameParams()).resolved(
             jax.default_backend())
+        if isinstance(mesh, str):
+            if mesh != "auto":
+                raise ValueError(f"mesh must be a Mesh, None, or 'auto'; "
+                                 f"got {mesh!r}")
+            # The recorded selection rule (make_mesh docstring): pure
+            # stream-dp over as many devices as divide the stream count.
+            # A 1-device outcome drops to the plain (no-mesh) path — the
+            # sharding machinery buys nothing on one device.
+            mesh = make_mesh(auto_for_streams=num_streams)
+            if int(np.prod(list(mesh.shape.values()))) == 1:
+                mesh = None
         self.mesh = mesh
         # Multi-controller (jax.distributed) mode: every process runs
         # this same runner with the same global frame schedule; each
@@ -366,20 +378,23 @@ class MultiStreamRunner:
             raise ValueError(
                 f"mesh part axis {mesh.shape['part']} != "
                 f"engine.spatial_parts {sp}")
-        if self.spatial and num_streams > 1:
-            # Operators must not configure the measured-slower mesh
-            # silently (VERDICT r4 weak #3): multi-stream + spatial
-            # parts is a RECORDED NEGATIVE on this class of host
-            # (SCALING_r04 s2p2: 0.565x/0.698x vs plain stream-dp;
-            # make_mesh docstring has the full table). Warn — don't
-            # refuse — because the attribution is host contention and a
-            # real ICI pod may measure differently; re-record there
-            # before relying on this combination.
+        if self.spatial:
+            # Operators must not configure a measured-slower mesh
+            # silently (VERDICT r4 weak #3): after the round-5 engine
+            # speedups EVERY parts>1 configuration measures neutral-to-
+            # negative on this host class — single-stream included
+            # (SCALING_r05 s1p2 0.923x/0.980x, s1p4 0.841x/0.833x, s2p2
+            # 0.828x/0.590x vs plain stream-dp; make_mesh docstring has
+            # the full table). Warn — don't refuse — because the
+            # attribution is host contention and a real ICI pod may
+            # measure differently; re-record there before relying on
+            # this combination.
             import warnings
             warnings.warn(
-                f"spatial_parts={sp} with num_streams={num_streams} is a "
-                "measured-unprofitable combination (SCALING_r04 s2p2 "
-                "0.565x-0.698x vs pure stream-dp). Use "
+                f"spatial_parts={sp} (num_streams={num_streams}) is a "
+                "measured-unprofitable configuration on this host class "
+                "(SCALING_r05: all parts>1 rows 0.59x-0.98x vs pure "
+                "stream-dp). Use mesh='auto' or "
                 "make_mesh(auto_for_streams=...) for the recorded "
                 "selection rule.", RuntimeWarning, stacklevel=2)
         self.parts = None

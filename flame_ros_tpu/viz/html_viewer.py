@@ -54,8 +54,6 @@ gl.attachShader(prog, sh(gl.VERTEX_SHADER,VS));
 gl.attachShader(prog, sh(gl.FRAGMENT_SHADER,FS));
 gl.linkProgram(prog); gl.useProgram(prog);
 gl.getExtension('OES_element_index_uint');
-function buf(target,data){const b=gl.createBuffer();gl.bindBuffer(target,b);
-gl.bufferData(target,data,gl.STATIC_DRAW);return b;}
 function attr(name,b,size){const a=gl.getAttribLocation(prog,name);
 gl.bindBuffer(gl.ARRAY_BUFFER,b);gl.enableVertexAttribArray(a);
 gl.vertexAttribPointer(a,size,gl.FLOAT,false,0,0);}
@@ -66,15 +64,23 @@ gl.texImage2D(gl.TEXTURE_2D,0,gl.RGBA,1,1,0,gl.RGBA,gl.UNSIGNED_BYTE,
 // Mutable mesh buffers: setMesh re-uploads everything, so a live
 // client can stream growing meshes into the same page (reference
 // TexturedMeshVisual updateVertexBuffer/updateIndexBuffer semantics —
-// buffers are re-filled per message, the scene persists).
-let xyz,nrm,uv,idx,pb,nb,tb,ib,lpb,lnb,ltb,nverts=0;
+// buffers are re-filled per message, the scene persists). The GL
+// buffer HANDLES are created once and re-filled with bufferData —
+// allocating fresh buffers per update would leak GPU memory over a
+// long live session (the old stores stay referenced by the context).
+const pb=gl.createBuffer(), nb=gl.createBuffer(), tb=gl.createBuffer(),
+ ib=gl.createBuffer(), lpb=gl.createBuffer(), lnb=gl.createBuffer(),
+ ltb=gl.createBuffer();
+function refill(target,b,data){gl.bindBuffer(target,b);
+ gl.bufferData(target,data,gl.STATIC_DRAW);}
+let xyz,nrm,uv,idx,nverts=0;
 function setMesh(D){
  xyz = new Float32Array(D.xyz);
  nrm = new Float32Array(D.normals);
  uv = new Float32Array(D.uv);
  idx = new Uint32Array(D.tris);
- pb=buf(gl.ARRAY_BUFFER,xyz); nb=buf(gl.ARRAY_BUFFER,nrm);
- tb=buf(gl.ARRAY_BUFFER,uv); ib=buf(gl.ELEMENT_ARRAY_BUFFER,idx);
+ refill(gl.ARRAY_BUFFER,pb,xyz); refill(gl.ARRAY_BUFFER,nb,nrm);
+ refill(gl.ARRAY_BUFFER,tb,uv); refill(gl.ELEMENT_ARRAY_BUFFER,ib,idx);
  DATA.center=D.center; DATA.scale=D.scale;
  if (D.texture_png){ const im=new Image();
   im.onload=()=>{gl.bindTexture(gl.TEXTURE_2D,tex);
@@ -93,8 +99,8 @@ function setMesh(D){
   for(let k=0;k<3;k++){ lpos[6*i+k]=xyz[3*i+k];
    lpos[6*i+3+k]=xyz[3*i+k]+nlen*nrm[3*i+k];
    lnrm[6*i+k]=nrm[3*i+k]; lnrm[6*i+3+k]=nrm[3*i+k]; } }
- lpb=buf(gl.ARRAY_BUFFER,lpos); lnb=buf(gl.ARRAY_BUFFER,lnrm);
- ltb=buf(gl.ARRAY_BUFFER,luv);
+ refill(gl.ARRAY_BUFFER,lpb,lpos); refill(gl.ARRAY_BUFFER,lnb,lnrm);
+ refill(gl.ARRAY_BUFFER,ltb,luv);
 }
 setMesh(DATA);
 let mode=0, showNormals=false, rotX=0, rotY=0, dist=3.0;

@@ -164,10 +164,12 @@ def main():
                     recs.append(ts.recall)
             covs.append(rec.get("coverage", 0.0))
     # Steady-state metrics exclude the map build-up (the first ~2
-    # poseframe rounds have no mesh by construction).
-    steady = slice(max(len(recs) - 150, 0), None)
-    steady_recall = (float(np.mean(recs[steady])) if recs else None)
-    steady_cov = (float(np.mean(covs[steady])) if covs else None)
+    # poseframe rounds have no mesh by construction). The two series
+    # have different lengths (every row contributes a coverage entry;
+    # only evaluated rows with finite recall contribute to recs), so
+    # each takes its own last-150 window.
+    steady_recall = (float(np.mean(recs[-150:])) if recs else None)
+    steady_cov = (float(np.mean(covs[-150:])) if covs else None)
     lat = np.sort(np.asarray(latencies)) * 1e3
     row = {
         "metric": "chip_acc_streaming_vga200",

@@ -21,9 +21,15 @@ python -m flame_ros_tpu.viz.live_viewer \
   --server-port "$PORT" --http-port "$HTTP_PORT" --period 0.5 &
 VIEW_PID=$!
 trap 'kill $SERVE_PID $VIEW_PID 2>/dev/null || true' EXIT
-# Wait for the engine server to accept connections (first JAX import
-# takes tens of seconds cold).
-for _ in $(seq 1 60); do
+# Wait for the engine server to accept connections (first JAX import +
+# compile warmup takes tens of seconds cold). Abort — don't fall
+# through — if it never comes up.
+UP=0
+for _ in $(seq 1 90); do
+  if ! kill -0 "$SERVE_PID" 2>/dev/null; then
+    echo "flame-serve exited during startup" >&2
+    exit 1
+  fi
   if python - "$PORT" <<'EOF'
 import socket, sys
 try:
@@ -31,9 +37,13 @@ try:
 except OSError:
     raise SystemExit(1)
 EOF
-  then break; fi
+  then UP=1; break; fi
   sleep 2
 done
+if [ "$UP" != 1 ]; then
+  echo "flame-serve never started listening on port $PORT" >&2
+  exit 1
+fi
 echo "live mesh at http://127.0.0.1:$HTTP_PORT"
 python scripts/stream_synthetic.py --port "$PORT" \
   --frames "$FRAMES" --rate "$RATE"

@@ -272,9 +272,9 @@ def test_deferred_triangulation_pipeline(seq):
     installed = []
     orig = eng._install_topology
 
-    def spy(packed):
+    def spy(packed, **kw):
         installed.append(packed)
-        return orig(packed)
+        return orig(packed, **kw)
     eng._install_topology = spy
     for w in range(4):
         frames = [(seq.timestamps[i % 18], 100 * w + i,
@@ -318,6 +318,39 @@ def test_deferred_triangulation_drop_backpressure(seq):
     assert eng._tri_dropped >= 1  # 4 poseframes, 2 slots -> drops
     eng._apply_pending_triangulation(block=True)
     assert not eng._pending_tri
+
+
+def test_topology_install_monotonic_watermark(seq):
+    """Installs are monotonic in the build watermark (round-5 review):
+    in the prefetched streaming loop a pack-time-merged topology arrives
+    PREFETCH-DEPTH windows after it was merged, by which time the async
+    drain may have installed a NEWER build — installing the older one
+    would roll topo_frame_id backwards and re-mask fresh triangles.
+    Older-than-installed watermarks are skipped; unknown (wm=None)
+    installs are unconditional and leave the guard untouched."""
+    import jax
+
+    params = _small_params()
+    eng = _run(seq, params, n=7)
+    uv = np.asarray(eng.state.vtx_uv)
+    elig = np.asarray(eng.state.vtx_in_graph) > 0
+    new = jax.device_put(eng._build_topology_host(uv, elig, 10))
+    old = jax.device_put(eng._build_topology_host(uv, elig, 5))
+    n0 = eng._topo_installs
+    eng._install_topology(new, wm=10)
+    assert eng._topo_installs == n0 + 1
+    assert int(eng.state.topo_frame_id) == 10
+    sup0 = eng._tri_superseded
+    eng._install_topology(old, wm=5)   # older: must be skipped
+    assert eng._topo_installs == n0 + 1
+    assert int(eng.state.topo_frame_id) == 10
+    assert eng._tri_superseded == sup0 + 1
+    eng._install_topology(old, wm=10)  # equal wm: allowed
+    assert eng._topo_installs == n0 + 2
+    forced = jax.device_put(eng._build_topology_host(uv, elig, 2 ** 30))
+    eng._install_topology(forced, wm=None)  # forced: unconditional,
+    assert eng._topo_installs == n0 + 3     # guard untouched
+    assert eng._installed_topo_wm == 10
 
 
 def test_checkpoint_resume(seq, tmp_path):

@@ -25,6 +25,53 @@ def _get(url, timeout=5.0):
         return r.status, r.read()
 
 
+def test_server_concurrent_clients_and_disconnect_resilience():
+    """The live-viewer architecture REQUIRES two concurrent server
+    clients (frame streamer + mesh poller), and a client dropping
+    mid-conversation must never take the accept loop down (round-5
+    review: listen(1) + sequential serving deadlocked the demo when the
+    poller connected first; an unhandled BrokenPipeError then killed
+    the accept thread)."""
+    import socket
+
+    from flame_ros_tpu.frontends.serve import recv_msg
+
+    seq = make_sequence(n_frames=6, cam=QVGA)
+    srv = FlameServer(seq.cam, _params(), port=0)
+    srv.start()
+    try:
+        # Client A connects FIRST and just sits on the connection (the
+        # poller-wins-the-race scenario). Client B must still be served.
+        a = socket.create_connection(("127.0.0.1", srv.port), timeout=5)
+        b = socket.create_connection(("127.0.0.1", srv.port), timeout=5)
+        b.settimeout(20.0)
+        send_msg(b, {"type": "get_idepth"})
+        header, payload = recv_msg(b)
+        assert header is not None and header["type"] == "idepth"
+        # A drops abruptly (no "stop") — possibly mid-reply.
+        send_msg(a, {"type": "get_idepth"})
+        a.close()
+        time.sleep(0.3)
+        # The server must still accept and serve NEW clients.
+        c = socket.create_connection(("127.0.0.1", srv.port), timeout=5)
+        c.settimeout(20.0)
+        send_msg(c, {"type": "get_idepth"})
+        header, payload = recv_msg(c)
+        assert header is not None and header["type"] == "idepth"
+        # ... and the earlier concurrent client still works too.
+        send_msg(b, {"type": "get_idepth"})
+        header, _ = recv_msg(b)
+        assert header is not None and header["type"] == "idepth"
+        for s in (b, c):
+            try:
+                send_msg(s, {"type": "stop"})
+                s.close()
+            except OSError:
+                pass
+    finally:
+        srv.stop()
+
+
 def test_live_viewer_streams_growing_mesh():
     seq = make_sequence(n_frames=10, cam=QVGA)
     srv = FlameServer(seq.cam, _params(), port=0)

@@ -64,3 +64,22 @@ def test_serve_stream_roundtrip():
         c.close()
     finally:
         srv.stop()
+
+
+def test_python_dash_m_entrypoints_exist():
+    """`python -m flame_ros_tpu.frontends.serve` (what demo_live.sh
+    runs) must actually invoke main(): the module shipped without an
+    `if __name__ == "__main__"` guard for a round, so the demo's server
+    imported and exited silently (round-5 verify drive). --help must
+    print usage and exit 0 for every `python -m`-documented CLI."""
+    import subprocess
+    import sys
+
+    for mod in ("flame_ros_tpu.frontends.serve",
+                "flame_ros_tpu.frontends.offline_runner",
+                "flame_ros_tpu.viz.live_viewer"):
+        r = subprocess.run(
+            [sys.executable, "-m", mod, "--help"],
+            capture_output=True, text=True, timeout=120)
+        assert r.returncode == 0, (mod, r.stderr[-500:])
+        assert "usage" in r.stdout.lower(), (mod, r.stdout[:200])
