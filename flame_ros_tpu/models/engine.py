@@ -1152,8 +1152,10 @@ class Flame:
                 # triangles (round-5 streaming-accuracy runner: dense
                 # coverage oscillated 0.85 -> 0.3 at depth 2). The
                 # install is one extra ASYNC upload riding alongside
-                # compute, not a new sync point.
-                self._apply_pending_triangulation(block=False)
+                # compute, not a new sync point. (Stale telemetry is
+                # counted once per window, in _dispatch_packed.)
+                self._apply_pending_triangulation(block=False,
+                                                  count_stale=False)
                 for (fut, gfut, first_is_pf, any_pf, B, mid,
                      topo_len, topo_wm) in prefetched:
                     tw = time_mod.perf_counter()
@@ -1287,7 +1289,8 @@ class Flame:
             frames = [(t0, i0, p0, g0, True)] + frames[1:]
         return frames
 
-    def _apply_pending_triangulation(self, block: bool = True):
+    def _apply_pending_triangulation(self, block: bool = True,
+                                     count_stale: bool = True):
         """Install topology built by earlier windows' deferred
         triangulation jobs (D2H pull + host Delaunay + packed upload, all
         of which ran on the worker thread behind this window's compute).
@@ -1296,7 +1299,12 @@ class Flame:
         With block=False unfinished jobs are left pending (the dispatch
         proceeds on stale topology — FLaME smooths over stale topology by
         design) so the round-trip never sits on the dispatch critical
-        path. With block=True every pending job drains."""
+        path. With block=True every pending job drains.
+
+        count_stale=False suppresses the stale-window telemetry tick:
+        the prefetched path polls here at dispatch time AND checks again
+        inside _dispatch_packed — counting both would double every
+        stale window in `_stale_tri_windows`."""
         applied = False
         buf = None
         buf_wm = None
@@ -1316,7 +1324,7 @@ class Flame:
                 buf = jax.device_put(buf)
             self._install_topology(buf, wm=buf_wm)
             applied = True
-        if not applied and self._pending_tri:
+        if not applied and self._pending_tri and count_stale:
             self._stale_tri_windows += 1
 
     def _pack_segments(self, frames, gt_batch):
